@@ -1,0 +1,313 @@
+"""Codec unit tests — FIXTURES.md F1 shapes.
+
+Round-trip bit-identity for every codec + selector-sanity checks
+(expected codec on synthetic shapes). Mirrors the reference's
+golden-value pytest style (/root/reference/tests/
+test_variants_annotations_parquet.py:75-103) but with exact
+programmatic oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from howard_spark.codecs import decode_array, encode_array
+from howard_spark.codecs import fsst
+from howard_spark.codecs.bits import frame, pack_uints, unframe, unpack_uints
+from howard_spark.codecs.core import (
+    decode_floats,
+    decode_ints,
+    encode_block,
+    decode_block,
+    encode_floats,
+    encode_ints,
+)
+
+rng = np.random.RandomState(42)
+
+
+def roundtrip(arr: pa.Array) -> pa.Array:
+    enc = encode_array(arr)
+    dec = decode_array(enc.payload, enc.meta, enc.n_rows)
+    return dec, enc
+
+
+def assert_same(arr, dec):
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    assert dec.type == a.type, (dec.type, a.type)
+    assert dec.equals(a), f"mismatch: {a[:5]} vs {dec[:5]}"
+
+
+# -- bit primitives ---------------------------------------------------------
+
+def test_pack_unpack_uints():
+    for width in (1, 3, 7, 8, 13, 31, 33, 64):
+        vals = rng.randint(0, 2, 1000).astype(np.uint64) if width == 1 else (
+            rng.randint(0, 2**min(width, 62), 1000).astype(np.uint64))
+        packed = pack_uints(vals, width)
+        out = unpack_uints(packed, width, 1000)
+        assert (out == vals).all()
+
+
+def test_frame_roundtrip():
+    parts = [b"", b"abc", b"\x00" * 100, b"x"]
+    assert unframe(frame(*parts)) == parts
+
+
+# -- integer codecs ---------------------------------------------------------
+
+def test_int_const():
+    enc = encode_ints(np.full(5000, 42, dtype=np.int64))
+    assert enc.c == "const"
+    assert len(enc.payload) == 0
+    out = decode_ints(enc.c, enc.payload, enc.m, 5000)
+    assert (out == 42).all()
+
+
+def test_int_for_bitpack_narrow():
+    vals = rng.randint(10**9, 10**9 + 1000, 10000).astype(np.int64)
+    enc = encode_ints(vals)
+    assert enc.c in ("for", "dicti")
+    assert len(enc.payload) < vals.nbytes / 4
+    assert (decode_ints(enc.c, enc.payload, enc.m, vals.size) == vals).all()
+
+
+def test_int_small():
+    vals = rng.randint(0, 16, 10000).astype(np.int64)
+    enc = encode_ints(vals)
+    assert enc.c == "for"
+    assert enc.m["w"] <= 4
+    assert (decode_ints(enc.c, enc.payload, enc.m, vals.size) == vals).all()
+
+
+def test_int_rle_sorted_runs():
+    vals = np.repeat(np.arange(20, dtype=np.int64), 500)
+    enc = encode_ints(vals)
+    assert enc.c == "rle"
+    assert len(enc.payload) < 200
+    assert (decode_ints(enc.c, enc.payload, enc.m, vals.size) == vals).all()
+
+
+def test_int_negative_and_extreme():
+    vals = np.array([-(2**62), 2**62, 0, -1, 1] * 100, dtype=np.int64)
+    enc = encode_ints(vals)
+    assert (decode_ints(enc.c, enc.payload, enc.m, vals.size) == vals).all()
+
+
+def test_int_full_range_raw64():
+    vals = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max] * 3
+                    + list(rng.randint(-2**62, 2**62, 100)), dtype=np.int64)
+    enc = encode_ints(vals)
+    assert (decode_ints(enc.c, enc.payload, enc.m, vals.size) == vals).all()
+
+
+# -- float codecs -----------------------------------------------------------
+
+def test_float_decimal_money():
+    vals = np.round(rng.uniform(0, 10000, 10000), 2)
+    enc = encode_floats(vals)
+    assert enc.c == "fdec"
+    out = decode_floats(enc.c, enc.payload, enc.m, vals.size)
+    assert out.view(np.uint64).tolist() == vals.view(np.uint64).tolist()
+
+
+def test_float_nan_inf_negzero():
+    vals = np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 1.5] * 50)
+    enc = encode_floats(vals)
+    out = decode_floats(enc.c, enc.payload, enc.m, vals.size)
+    assert (out.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+def test_float_random():
+    vals = rng.standard_normal(5000)
+    enc = encode_floats(vals)
+    out = decode_floats(enc.c, enc.payload, enc.m, vals.size)
+    assert (out.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+# -- FSST -------------------------------------------------------------------
+
+SOURCE_TEXT = (
+    b"def encode(self, values):\n    return [self.table[v] for v in values]\n"
+    b"class Encoder:\n    def __init__(self, table):\n        self.table = table\n"
+) * 200
+
+
+def test_fsst_roundtrip_text():
+    table = fsst.train(SOURCE_TEXT)
+    comp = fsst.compress(SOURCE_TEXT, table)
+    assert len(comp) < len(SOURCE_TEXT) / 2, f"ratio too weak: {len(comp)}/{len(SOURCE_TEXT)}"
+    assert fsst.decompress(comp, table) == SOURCE_TEXT
+
+
+def test_fsst_table_serialization():
+    table = fsst.train(SOURCE_TEXT)
+    t2 = fsst.FsstTable.deserialize(table.serialize())
+    assert t2.symbols == table.symbols
+
+
+def test_fsst_escape_bytes():
+    data = bytes(range(256)) * 4 + b"\xff\xff\xff"
+    table = fsst.train(data)
+    comp = fsst.compress(data, table)
+    assert fsst.decompress(comp, table) == data
+
+
+def test_fsst_empty_and_tiny():
+    table = fsst.train(b"")
+    assert fsst.compress(b"", table) == b""
+    assert fsst.decompress(b"", table) == b""
+    t2 = fsst.train(b"a")
+    assert fsst.decompress(fsst.compress(b"a", t2), t2) == b"a"
+
+
+def test_block_selector_random_avoids_fsst():
+    data = rng.bytes(100_000)
+    name, payload = encode_block(data)
+    assert name in ("plain", "zlib")  # selector must not pick FSST on noise
+    assert decode_block(name, payload) == data
+
+
+def test_block_selector_text_beats_zlib_or_matches():
+    name, payload = encode_block(SOURCE_TEXT)
+    assert decode_block(name, payload) == SOURCE_TEXT
+    assert len(payload) <= len(zlib.compress(SOURCE_TEXT, 6)) * 1.1
+
+
+# -- arrow array round-trips (F1 fixtures) ----------------------------------
+
+def test_const_col():
+    arr = pa.array(["same"] * 4000)
+    dec, enc = roundtrip(arr)
+    assert enc.codec == "sconst"
+    assert_same(arr, dec)
+
+
+def test_sorted_runs_strings():
+    vals = [f"block{i:03d}" for i in range(20) for _ in range(300)]
+    arr = pa.array(vals)
+    dec, enc = roundtrip(arr)
+    assert enc.codec == "sdict"
+    meta = json.loads(enc.meta)
+    assert meta["m"]["cd"]["c"] == "rle"  # codes are runs
+    assert_same(arr, dec)
+
+
+def test_low_card_shuffled():
+    vals = [f"lang{i}" for i in rng.randint(0, 16, 8000)]
+    arr = pa.array(vals)
+    dec, enc = roundtrip(arr)
+    assert enc.codec == "sdict"
+    assert enc.enc_bytes < enc.raw_bytes / 4
+    assert_same(arr, dec)
+
+
+def test_text_repetitive_fsst_family():
+    texts = [SOURCE_TEXT[i % 100: i % 100 + 300].decode("latin1") for i in range(2000)]
+    arr = pa.array(texts)
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+    assert enc.enc_bytes < enc.raw_bytes / 2
+
+
+def test_text_random_fallback():
+    texts = ["".join(chr(c) for c in rng.randint(0x20, 0x2FA0, 60)) for _ in range(500)]
+    arr = pa.array(texts)
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_with_nulls_strings():
+    vals = ["x", None, "y", None, "z" * 100] * 500
+    arr = pa.array(vals)
+    dec, enc = roundtrip(arr)
+    assert enc.n_nulls == 1000
+    assert_same(arr, dec)
+
+
+def test_with_nulls_ints():
+    vals = [1, None, 3, None, 10**12] * 500
+    arr = pa.array(vals, type=pa.int64())
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_empty_chunk():
+    for t in (pa.int64(), pa.string(), pa.float64(), pa.list_(pa.float32())):
+        arr = pa.array([], type=t)
+        dec, enc = roundtrip(arr)
+        assert len(dec) == 0 and dec.type == t
+
+
+def test_unicode_and_control_bytes():
+    vals = ["héllo→世界", "", "\x01\x02\x03", "a" * 10_000, "🎉" * 50] * 200
+    arr = pa.array(vals)
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_int_types_preserved():
+    for t in (pa.int8(), pa.int16(), pa.int32(), pa.int64(), pa.uint32()):
+        arr = pa.array([0, 1, 2, 100, 7] * 100, type=t)
+        dec, enc = roundtrip(arr)
+        assert_same(arr, dec)
+
+
+def test_timestamp_for():
+    base = 1_700_000_000_000_000
+    vals = base + np.cumsum(rng.randint(0, 1000, 5000))
+    arr = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
+    dec, enc = roundtrip(arr)
+    assert enc.codec == "for"  # tight band -> frame-of-reference
+    assert_same(arr, dec)
+
+
+def test_bool_bitpack():
+    arr = pa.array(rng.randint(0, 2, 5000).astype(bool))
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+    assert enc.enc_bytes < 5000 // 4
+
+
+def test_date32():
+    arr = pa.array(np.arange(19000, 19365, dtype=np.int32), type=pa.date32())
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_list_of_floats_embeddings():
+    vecs = [rng.standard_normal(16).astype(np.float32).tolist() for _ in range(500)]
+    arr = pa.array(vecs, type=pa.list_(pa.float32()))
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_list_with_nulls():
+    vecs = [[1.0, 2.0], None, [], [3.5] * 5] * 100
+    arr = pa.array(vecs, type=pa.list_(pa.float64()))
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_binary_column():
+    vals = [rng.bytes(30), b"", b"\x00\xff" * 10] * 300
+    arr = pa.array(vals, type=pa.binary())
+    dec, enc = roundtrip(arr)
+    assert_same(arr, dec)
+
+
+def test_size_bound_vs_parquet_lowcard():
+    """Encoded size must beat Spark-default Parquet (snappy) on easy columns."""
+    import pyarrow.parquet as pq
+    import io
+    vals = [f"lang{i}" for i in rng.randint(0, 12, 50000)]
+    arr = pa.array(vals)
+    enc = encode_array(arr)
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"c": arr}), buf, compression="snappy")
+    assert enc.enc_bytes < buf.getbuffer().nbytes
