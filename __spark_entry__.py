@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship: documents through the full codec engine
+                 (encode -> decode), sha-verified per lang.
+queries()     -> one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  -> matching DuckDB SQL for every oracle-checkable query.
 """
 
 from __future__ import annotations
@@ -12,27 +12,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode sf0.001 documents with the codec engine, decode,
+    and report per-lang rows + sha-verified match counts (all must match)."""
+    from howard_spark.encode import decode_df, encode_df
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    enc = encode_df(d, chunk_rows=4096)
+    dec = decode_df(enc, d.schema)
+
+    src = d.select("doc_id", F.sha2("text", 256).alias("src_sha"))
+    out = dec.select("doc_id", "lang", F.sha2("text", 256).alias("dec_sha"))
+    return (
+        out.join(src, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("src_sha") == F.col("dec_sha"), 1).otherwise(0)).alias("sha_ok"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from howard_spark.operators import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = load_all()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from howard_spark.operators import load_all
+
+    _, o = load_all()
+    return dict(o)

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Headline benchmark: prints ONE JSON line for the driver.
+
+Runs the flagship encode/decode pipeline on the deterministic corpus
+plus representative operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "encode_gbps": ..., "compression_ratio": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from howard_spark.session import get_spark
+
+    spark = get_spark(app="howard_spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from howard_spark.corpus import corpus_df
+    from howard_spark.encode import decode_df, encode_df
+    from howard_spark.operators import load_all
+
+    queries, _ = load_all()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        log(f"  {name:32s} {dt:7.2f}s")
+        return out
+
+    # -- flagship: corpus encode -> decode -> sha verify ------------------
+    n_corpus = int(os.environ.get("HS_BENCH_CORPUS_ROWS", "60000"))
+    corpus = corpus_df(spark, n_corpus).cache()
+    raw_gb = None
+
+    def corpus_encode():
+        enc = encode_df(corpus, partition_by=["repo", "path"]).cache()
+        stats = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+        return enc, stats["r"], stats["e"]
+
+    corpus.count()  # materialize input outside the timed region
+    t0 = time.time()
+    enc, raw_b, enc_b = corpus_encode()
+    dt = time.time() - t0
+    timings["corpus_encode"] = round(dt, 3)
+    extras["encode_gbps"] = round(raw_b / dt / 1e9, 3)
+    extras["compression_ratio"] = round(raw_b / enc_b, 3)
+    log(f"  corpus_encode {dt:.2f}s raw={raw_b/1e6:.0f}MB enc={enc_b/1e6:.0f}MB "
+        f"{extras['encode_gbps']} GB/s ratio {extras['compression_ratio']}x")
+
+    def corpus_verify():
+        dec = decode_df(enc, corpus.schema, columns=["repo", "path", "content"])
+        bad = (
+            dec.select("repo", "path", F.sha2("content", 256).alias("d"))
+            .join(corpus.select("repo", "path", F.sha2("content", 256).alias("s")),
+                  ["repo", "path"])
+            .where(F.col("d") != F.col("s"))
+            .count()
+        )
+        if bad:
+            raise AssertionError(f"{bad} sha mismatches")
+
+    timed("corpus_decode_verify", corpus_verify)
+    enc.unpersist()
+    corpus.unpersist()
+
+    # -- representative operator queries at the sf dir --------------------
+    headline = [
+        "q01_pricing_summary", "q02_top_customers", "q05_top_order_per_customer",
+        "q12_explode_tokens", "q15_stats", "q20_time_bucket",
+        "q21_token_count", "q30_exact_dedup", "q32_lsh_candidate_pairs",
+        "q40_ann_bruteforce", "q43_embedding_neardup",
+        "q50_encode_roundtrip_sha", "q51_encode_roundtrip_lineitem",
+    ]
+    for name in headline:
+        fn = queries[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "howard_spark headline suite (encode+decode+operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

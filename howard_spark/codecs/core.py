@@ -247,6 +247,14 @@ def decode_floats(c: str, payload: bytes, m: dict, n: int) -> np.ndarray:
 # Byte-block codecs (string data planes): plain | zlib | fsst | fsst+zlib
 # ---------------------------------------------------------------------------
 
+#: Above this size, FSST must beat zlib by a margin on the sample trial
+#: to be chosen — the numpy FSST encoder runs ~5-10 MB/s/core vs zlib's
+#: ~200 MB/s, so on huge blocks a marginal ratio win isn't worth the
+#: encode time (decode remains fast either way).
+BLOCK_FSST_MARGIN_THRESHOLD = 8 << 20
+BLOCK_FSST_MARGIN = 0.85
+
+
 def encode_block(data: bytes) -> tuple[str, bytes]:
     if not data:
         return "plain", b""
@@ -276,6 +284,11 @@ def encode_block(data: bytes) -> tuple[str, bytes]:
         "fsst": len(fs) + len(table.serialize()),
         "fsst_zlib": len(zlib.compress(fs, ZLIB_LEVEL)) + len(table.serialize()),
     }
+    if len(data) > BLOCK_FSST_MARGIN_THRESHOLD:
+        # throughput-aware: on huge blocks FSST must win by a clear margin
+        for k in ("fsst", "fsst_zlib"):
+            if est[k] > est["zlib"] * BLOCK_FSST_MARGIN:
+                est[k] = 1 << 62
     winner = min(est, key=est.get)
     name, payload = _full(winner)
     if len(payload) >= len(data):  # never regress past plain

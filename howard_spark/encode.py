@@ -1,0 +1,234 @@
+"""Distributed encode/decode: the codec layer lifted onto Spark.
+
+Encode is a single ``mapInArrow`` stage over a (range-)repartitioned
+DataFrame — each task turns its partition into per-column-chunk
+encoded rows. Decode is ``applyInArrow`` grouped by (part_id,
+chunk_id). No per-row Python anywhere: kernels see Arrow batches and
+call the vectorized codec library.
+
+Scale design notes (100 TB / 1000 executors):
+- `repartitionByRange(keys)` gives each task a contiguous key range,
+  which is what makes RLE/dict local and is the analog of the
+  reference's hive partitioning by #CHROM
+  (/root/reference/docs/tips.md:5-28). A mega-repo is split across
+  ranges by `path`, so repo-level skew is handled by the range
+  partitioner itself; `salt()` below covers single-key hot spots.
+- The encoded table is columnar-over-columns: one row per
+  (column, chunk). Reading a column subset prunes both the scan
+  (predicate on `column` pushes into Parquet) and the decode shuffle.
+- Decode's groupBy shuffles only the selected columns' payloads; when
+  the encoded table is persisted bucketed by part_id the shuffle
+  disappears entirely (bucketed scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .codecs import decode_array, encode_array
+
+DEFAULT_CHUNK_ROWS = 65536  # codec unit; analog of reference ROW_GROUP_SIZE
+                            # (/root/reference/howard/functions/databases.py:1406)
+DEFAULT_CHUNK_BYTES = 32 << 20  # flush early on wide rows: bounds the byte-block
+                                # size a codec sees and the kernel's memory
+
+ENCODED_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("chunk_id", IntegerType(), False),
+        StructField("row_start", LongType(), False),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_nulls", LongType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("sha", StringType(), False),
+        StructField("meta", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+_ENC_ARROW = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int32()),
+        ("row_start", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("sha", pa.string()),
+        ("meta", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+def encode_chunk(tbl: pa.Table, part_id: int, chunk_id: int, row_start: int) -> pa.RecordBatch:
+    """Encode one row-chunk of a table → one encoded row per column."""
+    rows = {k: [] for k in _ENC_ARROW.names}
+    for col in tbl.column_names:
+        enc = encode_array(tbl[col])
+        rows["part_id"].append(part_id)
+        rows["chunk_id"].append(chunk_id)
+        rows["row_start"].append(row_start)
+        rows["column"].append(col)
+        rows["codec"].append(enc.codec)
+        rows["n_rows"].append(enc.n_rows)
+        rows["n_nulls"].append(enc.n_nulls)
+        rows["raw_bytes"].append(enc.raw_bytes)
+        rows["enc_bytes"].append(enc.enc_bytes)
+        rows["sha"].append(hashlib.sha256(enc.payload).hexdigest()[:16])
+        rows["meta"].append(enc.meta)
+        rows["payload"].append(enc.payload)
+    return pa.RecordBatch.from_pydict(rows, schema=_ENC_ARROW)
+
+
+def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        buffered_bytes = 0
+        chunk_id = 0
+        row_start = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            buffered += b.num_rows
+            buffered_bytes += b.nbytes
+            while buffered >= chunk_rows or buffered_bytes >= chunk_bytes:
+                tbl = pa.Table.from_batches(buf)
+                take = min(chunk_rows, tbl.num_rows)
+                chunk = tbl.slice(0, take)
+                rest = tbl.slice(take)
+                yield encode_chunk(chunk, pid, chunk_id, row_start)
+                chunk_id += 1
+                row_start += take
+                buf = rest.to_batches() if rest.num_rows else []
+                buffered = rest.num_rows
+                buffered_bytes = rest.nbytes if rest.num_rows else 0
+                if buffered < chunk_rows and buffered_bytes < chunk_bytes:
+                    break
+        if buffered:
+            tbl = pa.Table.from_batches(buf)
+            yield encode_chunk(tbl, pid, chunk_id, row_start)
+
+    return kernel
+
+
+def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Explicit skew salting: spread a hot key across ``buckets`` splits.
+
+    Salting happens *within* the key so range locality survives —
+    append ``salt_col`` last in the partitioning keys.
+    """
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"))
+
+
+def encode_df(
+    df: DataFrame,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    partition_by: list[str] | None = None,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Encode a DataFrame into per-column-chunk rows (lazy).
+
+    ``partition_by`` range-partitions + sorts for codec locality
+    (RLE/dict) — e.g. ``["repo", "path"]`` for the source-code corpus.
+    """
+    if partition_by:
+        n = npartitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, *[F.col(c) for c in partition_by])
+        df = df.sortWithinPartitions(*partition_by)
+    return df.mapInArrow(_encode_kernel(chunk_rows), ENCODED_SCHEMA)
+
+
+def _decode_kernel(fields: list[tuple[str, object]]):
+    names = [f[0] for f in fields]
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        cols = tbl.column("column").to_pylist()
+        metas = tbl.column("meta").to_pylist()
+        payloads = tbl.column("payload").to_pylist()
+        nrows = tbl.column("n_rows").to_pylist()
+        by_name = {}
+        for c, m, p, n in zip(cols, metas, payloads, nrows):
+            by_name[c] = decode_array(p, m, n)
+        arrays = [by_name[n] for n in names]
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return kernel
+
+
+def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = None) -> DataFrame:
+    """Decode encoded chunk rows back to the original relation (lazy).
+
+    ``columns`` prunes before the shuffle: only the requested payloads
+    move. The per-chunk group is self-contained, so the rebuild is one
+    ``applyInArrow`` with no further exchange.
+    """
+    if columns:
+        fields = [f for f in schema.fields if f.name in columns]
+        enc = enc.filter(F.col("column").isin(list(columns)))
+    else:
+        fields = list(schema.fields)
+    out_schema = StructType(fields)
+    kernel = _decode_kernel([(f.name, f.dataType) for f in fields])
+    return enc.groupBy("part_id", "chunk_id").applyInArrow(kernel, out_schema)
+
+
+def encoded_summary(enc: DataFrame) -> DataFrame:
+    """Codec-choice + size metrics per column (lineage/observability)."""
+    return (
+        enc.groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 2))
+        .orderBy("column", "codec")
+    )
+
+
+def verify_roundtrip(df: DataFrame, dec: DataFrame, text_cols: list[str]) -> int:
+    """North-rule invariant: sha256 equality per row on content columns.
+
+    Returns the number of mismatched rows (0 == bit-identical).
+    Implemented as a full-outer multiset compare of per-row sha256
+    signatures — no join keys needed, robust to row order.
+    """
+    def sig(d: DataFrame) -> DataFrame:
+        cols = [F.sha2(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")), 256) for c in text_cols]
+        return d.select(F.sha2(F.concat_ws("|", *cols), 256).alias("h")).groupBy("h").agg(
+            F.count("*").alias("cnt")
+        )
+
+    a, b = sig(df), sig(dec)
+    diff = a.join(b, "h", "full_outer").where(
+        F.coalesce(a["cnt"], F.lit(0)) != F.coalesce(b["cnt"], F.lit(0))
+    )
+    return diff.count()

@@ -1,0 +1,476 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.9) on the driver tables.
+
+Each query re-expresses a reference operator idiom Spark-first;
+docstrings cite the reference site (file:line under /root/reference/)
+whose semantics the query exercises. Scale notes:
+- dimension joins are explicitly broadcast (nation/region/part are
+  small dims at any SF);
+- aggregations are single-pass conditional aggs, not UNIONs of
+  subqueries, so only one shuffle on the group keys;
+- top-k uses window rank partitioned by the key — the shuffle is on
+  the partition key, and AQE handles skewed keys.
+
+Float discipline: every double aggregate is rounded in BOTH engines so
+the driver's value-hash is stable against summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import query, t
+
+
+# --- aggregations ----------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """TPC-H Q1 shape — the A1/A3 groupBy-agg idiom
+    (/root/reference/howard/objects/variants.py:600-607,716-726)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_customers",
+    """
+    SELECT c.c_name AS c_name, round(sum(o.o_totalprice), 2) AS total_spent
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name
+    ORDER BY total_spent DESC, c_name ASC
+    LIMIT 10
+    """,
+)
+def q02(spark, sf):
+    """Equi-join + agg + deterministic top-k (J1 + O4,
+    /root/reference/howard/objects/variants.py:6350-6392,10477-10497)."""
+    orders, cust = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("c_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_rollup",
+    """
+    SELECT r.r_name AS r_name, n.n_name AS n_name, count(*) AS customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03(spark, sf):
+    """Star-schema dims joined via explicit broadcast (X7,
+    /root/reference/howard/objects/variants.py:6350-6361) — nation and
+    region are tiny at any scale, so no shuffle for the joins."""
+    c = t(spark, sf, "customer")
+    n = F.broadcast(t(spark, sf, "nation"))
+    r = F.broadcast(t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@query(
+    "q04_interval_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('tiny', 0, 9), ('small', 10, 19), ('mid', 20, 34), ('large', 35, 60)
+    )
+    SELECT b.band AS band, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.band
+    """,
+)
+def q04(spark, sf):
+    """Interval/range join — the J2 region-annotation shape
+    (/root/reference/howard/objects/variants.py:6326-6348). The small
+    interval dim is broadcast, so the range join is a broadcast
+    nested-loop with no shuffle of the fact table."""
+    li = t(spark, sf, "lineitem")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("tiny", 0, 9), ("small", 10, 19), ("mid", 20, 34), ("large", 35, 60)],
+            "band string, lo int, hi int",
+        )
+    )
+    return (
+        li.join(bands, (li.l_quantity >= bands.lo) & (li.l_quantity <= bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q05_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q05(spark, sf):
+    """W1 window top-1 per key
+    (/root/reference/howard/objects/variants.py:10447-10474)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q06_conditional_counts",
+    """
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           sum(CASE WHEN l_quantity >= 30 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_bulk_taxed
+    FROM lineitem
+    """,
+)
+def q06(spark, sf):
+    """A4 single-pass conditional counts — replaces the reference's
+    UNION-of-count-subqueries (/root/reference/howard/objects/
+    variants.py:733-772) with one scan and zero shuffles."""
+    li = t(spark, sf, "lineitem")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return li.agg(
+        F.count("*").alias("n_total"),
+        one(F.col("l_discount") > 0.05).alias("n_discounted"),
+        one(F.col("l_returnflag") == "R").alias("n_returned"),
+        one((F.col("l_quantity") >= 30) & (F.col("l_tax") > 0.04)).alias("n_bulk_taxed"),
+    )
+
+
+@query(
+    "q07_substitution_matrix",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q07(spark, sf):
+    """A5 two-column frequency matrix
+    (/root/reference/howard/objects/variants.py:775-783)."""
+    return t(spark, sf, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q08_string_agg",
+    """
+    SELECT r.r_name AS r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q08(spark, sf):
+    """A6 string_agg per group
+    (/root/reference/howard/objects/variants.py:6236-6238) — sorted
+    inside the array so the result is order-deterministic."""
+    n, r = t(spark, sf, "nation"), F.broadcast(t(spark, sf, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+    )
+
+
+@query(
+    "q09_distinct",
+    "SELECT DISTINCT o_orderpriority FROM orders",
+)
+def q09(spark, sf):
+    """A7 distinct enumeration
+    (/root/reference/howard/objects/variants.py:10697-10701)."""
+    return t(spark, sf, "orders").select("o_orderpriority").distinct()
+
+
+@query(
+    "q10_union",
+    """
+    SELECT 'high' AS class, count(*) AS cnt FROM orders WHERE o_totalprice >= 150000
+    UNION ALL
+    SELECT 'low' AS class, count(*) AS cnt FROM orders WHERE o_totalprice < 150000
+    """,
+)
+def q10(spark, sf):
+    """U1 union of scalar counts
+    (/root/reference/howard/objects/variants.py:742-768)."""
+    o = t(spark, sf, "orders")
+    hi = o.where(F.col("o_totalprice") >= 150000).agg(
+        F.lit("high").alias("class"), F.count("*").alias("cnt")
+    ).select("class", "cnt")
+    lo = o.where(F.col("o_totalprice") < 150000).agg(
+        F.lit("low").alias("class"), F.count("*").alias("cnt")
+    ).select("class", "cnt")
+    return hi.unionByName(lo)
+
+
+@query(
+    "q11_regex_filter",
+    """
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM customer
+    WHERE regexp_matches(c_name, '[13579]$')
+    GROUP BY c_mktsegment
+    """,
+)
+def q11(spark, sf):
+    """P4 regex predicate
+    (/root/reference/howard/objects/variants.py:8052-8056,640)."""
+    return (
+        t(spark, sf, "customer")
+        .where(F.col("c_name").rlike("[13579]$"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q12_explode_tokens",
+    """
+    SELECT tok AS tok, count(*) AS cnt
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS tok FROM part)
+    GROUP BY tok
+    """,
+)
+def q12(spark, sf):
+    """F8 UDTF explode — string -> rows, fully native
+    (/root/reference/howard/objects/variants.py:10652-10661;
+    explode_annotation_format /root/reference/howard/functions/
+    commons.py:714-801)."""
+    return (
+        t(spark, sf, "part")
+        .select(F.explode(F.split(F.col("p_type"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q13_case_cast",
+    """
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+                WHEN o_totalprice >= 100000 THEN 'gold'
+                ELSE 'standard' END AS tier,
+           count(*) AS cnt,
+           round(avg(CAST(o_custkey AS DOUBLE)), 4) AS avg_custkey
+    FROM orders GROUP BY tier
+    """,
+)
+def q13(spark, sf):
+    """P5 CASE/CAST criteria — the prioritization idiom
+    (/root/reference/howard/objects/variants.py:7676-7704) as one
+    select with a when-chain instead of N sequential UPDATEs."""
+    o = t(spark, sf, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 200000, "platinum")
+        .when(F.col("o_totalprice") >= 100000, "gold")
+        .otherwise("standard")
+    )
+    return (
+        o.select(tier.alias("tier"), "o_custkey")
+        .groupBy("tier")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.avg(F.col("o_custkey").cast("double")), 4).alias("avg_custkey"))
+    )
+
+
+@query(
+    "q14_row_id_hash",
+    """
+    SELECT count(DISTINCT md5(l_orderkey || '|' || l_linenumber || '|' || l_partkey))
+           AS n_distinct_ids
+    FROM lineitem
+    """,
+)
+def q14(spark, sf):
+    """Stable row-id via hash of key columns — the variant_id idiom
+    (/root/reference/howard/objects/variants.py:2798-2808). md5 is
+    engine-portable; the engine-internal fast path is xxhash64."""
+    li = t(spark, sf, "lineitem")
+    rid = F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber", "l_partkey"))
+    return li.agg(F.countDistinct(rid).alias("n_distinct_ids"))
+
+
+@query(
+    "q15_stats",
+    """
+    SELECT l_returnflag,
+           round(avg(l_quantity), 4)          AS avg_q,
+           min(l_quantity)                    AS min_q,
+           max(l_quantity)                    AS max_q,
+           round(stddev_samp(l_quantity), 4)  AS stddev_q,
+           round(var_samp(l_quantity), 4)     AS var_q,
+           round(median(l_quantity), 4)       AS median_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q15(spark, sf):
+    """A3 full stats block incl. median
+    (/root/reference/howard/objects/variants.py:716-726)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_q"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_q"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_q"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_q"),
+        )
+    )
+
+
+@query(
+    "q16_left_join_coalesce",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS cnt, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def q16(spark, sf):
+    """J5 left-join + coalesce merge
+    (/root/reference/howard/objects/variants.py:2635-2689)."""
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"), "o_totalprice")
+        .groupBy("segment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q17_anti_join",
+    """
+    SELECT count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q17(spark, sf):
+    """Anti-join — the NOT-IN guard idiom
+    (/root/reference/howard/objects/variants.py:6144-6153)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q18_semi_join",
+    """
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q18(spark, sf):
+    """Semi-join (customers having a qualifying order)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 250000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q19_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q19(spark, sf):
+    """Window frame (running total per customer) — frames are absent
+    in the reference (SURVEY.md §2.5) but essential pipeline algebra."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q20_time_bucket",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+)
+def q20(spark, sf):
+    """Hourly rollup of the event stream — batch form of the
+    streaming windowed agg (howard_spark.streaming)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+Language ID, quality scoring, token counting, fingerprinting — all in
+native JVM expressions (no Python UDFs), with exact DuckDB oracles.
+These play the role the INFO-string functions play in the reference
+(regexp_extract decode, /root/reference/howard/objects/
+variants.py:1912-1918): string surgery kept inside the engine's
+vectorized expression layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# Deterministic marker-word lists per language (tiny stopword banks).
+_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+}
+
+
+def _count_word_expr_spark(col, word):
+    # occurrences of word with space boundaries
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return (
+        F.length(padded) - F.length(F.regexp_replace(padded, f" {word} ", " "))
+    ) / (len(word) + 1)
+
+
+@query(
+    "q21_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_q
+    FROM documents
+    """,
+)
+def q21(spark, sf):
+    """Whitespace token counting per document."""
+    d = t(spark, sf, "documents")
+    n_tokens = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_q"),
+    )
+
+
+@query(
+    "q22_quality_score",
+    """
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(CAST(length(text) - length(replace(lower(text), ' the ', ''))
+                 AS DOUBLE), 1) AS stopword_signal
+    FROM documents
+    """,
+)
+def q22(spark, sf):
+    """Quality scoring: punctuation / digit / stopword ratios —
+    length-delta counting, identical algebra in both engines."""
+    d = t(spark, sf, "documents")
+    ln = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    stop = (F.length("text") - F.length(F.replace(F.lower("text"), F.lit(" the "), F.lit("")))).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(punct.cast("double") / ln, 6).alias("punct_ratio"),
+        F.round(digits.cast("double") / ln, 6).alias("digit_ratio"),
+        F.round(stop, 1).alias("stopword_signal"),
+    )
+
+
+@query(
+    "q23_lang_id",
+    """
+    SELECT doc_id, lang AS lang_true,
+           CASE
+             WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+             WHEN de_score >= fr_score THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (the|and|of) ', ' ', 'g'))) AS en_score,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (der|und|die) ', ' ', 'g'))) AS de_score,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (le|et|la) ', ' ', 'g'))) AS fr_score
+      FROM documents
+    )
+    """,
+)
+def q23(spark, sf):
+    """Heuristic language ID: marker-word mass per language, argmax.
+    (A real pipeline would use cld3/fasttext via mapInPandas; the
+    n-gram heuristic keeps the operator oracle-checkable.)"""
+    d = t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def score(words):
+        pat = " (" + "|".join(words) + ") "
+        return F.length(padded) - F.length(F.regexp_replace(padded, pat, " "))
+
+    en, de, fr = score(_MARKERS["en"]), score(_MARKERS["de"]), score(_MARKERS["fr"])
+    pred = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+@query(
+    "q24_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q24(spark, sf):
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (portable stand-in for a rolling hash; the engine-internal
+    fast path uses xxhash64)."""
+    d = t(spark, sf, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@query(
+    "q25_lang_stats",
+    """
+    SELECT lang, count(*) AS docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q25(spark, sf):
+    """Per-language corpus stats (A1-style groupBy over documents)."""
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

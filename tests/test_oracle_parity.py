@@ -1,0 +1,64 @@
+"""Local mirror of the driver's correctness gate.
+
+For every registered query with an oracle: run the Spark DataFrame
+program AND the DuckDB SQL on the same parquet tables, then compare
+row count, column names, and order-insensitive values — the same
+contract CORRECTNESS_r{N}.json is built from.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from howard_spark.operators import load_all
+
+QUERIES, ORACLES = load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for f in glob.glob(f"{SF}/*.parquet"):
+        name = f.split("/")[-1].removesuffix(".parquet")
+        c.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    sdf = QUERIES[name](spark, SF).toPandas()
+    odf = con.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    a, b = normalize(sdf), normalize(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9, obj=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0  # runs and returns a stable relation
+    assert len(df.columns) > 0
