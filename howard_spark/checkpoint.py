@@ -129,6 +129,9 @@ def encode_to_dir(
         bufs: dict[int, list[pa.Table]] = {}
         enc_rows: dict[int, list[pa.RecordBatch]] = {}
         counters: dict[int, dict] = {}
+        # selector memo is scoped PER PART: resume re-encodes whole parts,
+        # so per-part state keeps output bytes a pure function of the part
+        memos: dict[int, dict] = {}
 
         def flush_chunks(pid: int, final: bool):
             tbls = bufs.get(pid)
@@ -142,7 +145,8 @@ def encode_to_dir(
             def emit(take: int):
                 nonlocal tbl
                 enc_rows.setdefault(pid, []).append(
-                    encode_chunk(tbl.slice(0, take), pid, cnt["chunk_id"], cnt["row_start"])
+                    encode_chunk(tbl.slice(0, take), pid, cnt["chunk_id"],
+                                 cnt["row_start"], memos.setdefault(pid, {}))
                 )
                 cnt["chunk_id"] += 1
                 cnt["row_start"] += take

@@ -39,8 +39,14 @@ import pyarrow.compute as pc
 from . import fsst
 from .bits import frame, pack_mask, pack_uints, unframe, unpack_mask, unpack_uints, width_for
 
-ZLIB_LEVEL = 6
+ZLIB_LEVEL = 6            # small blocks: ratio-first
+ZLIB_LEVEL_BULK = 2       # large blocks: ~4x the throughput at ~3/4 the ratio
+ZLIB_BULK_THRESHOLD = 4 << 20
 BLOCK_SAMPLE_THRESHOLD = 1 << 18  # trial large blocks on a sample
+
+
+def _zlevel(n: int) -> int:
+    return ZLIB_LEVEL_BULK if n >= ZLIB_BULK_THRESHOLD else ZLIB_LEVEL
 
 
 # ---------------------------------------------------------------------------
@@ -253,36 +259,67 @@ def decode_floats(c: str, payload: bytes, m: dict, n: int) -> np.ndarray:
 #: encode time (decode remains fast either way).
 BLOCK_FSST_MARGIN_THRESHOLD = 8 << 20
 BLOCK_FSST_MARGIN = 0.85
+#: Below this size FSST training overhead never pays off; try zlib/plain.
+BLOCK_FSST_MIN = 32 << 10
+
+
+def encode_block_named(data: bytes, name: str) -> tuple[str, bytes]:
+    """Encode with one specific block codec (no trials) — used by the
+    adaptive per-column selector memo in the encode kernel."""
+    if not data:
+        return "plain", b""
+    if name == "plain":
+        return "plain", data
+    if name == "zlib":
+        payload = zlib.compress(data, _zlevel(len(data)))
+        return ("zlib", payload) if len(payload) < len(data) else ("plain", data)
+    table = fsst.train(data)
+    comp = fsst.compress(data, table)
+    if name == "fsst":
+        payload = frame(table.serialize(), comp)
+    else:
+        payload = frame(table.serialize(), zlib.compress(comp, _zlevel(len(comp))))
+    if len(payload) >= len(data):
+        return "plain", data
+    return name, payload
 
 
 def encode_block(data: bytes) -> tuple[str, bytes]:
     if not data:
         return "plain", b""
 
-    def _full(name: str) -> tuple[str, bytes]:
-        if name == "plain":
-            return "plain", data
-        if name == "zlib":
-            return "zlib", zlib.compress(data, ZLIB_LEVEL)
-        table = fsst.train(data)
-        comp = fsst.compress(data, table)
-        if name == "fsst":
-            return "fsst", frame(table.serialize(), comp)
-        return "fsst_zlib", frame(table.serialize(), zlib.compress(comp, ZLIB_LEVEL))
+    def _fsst_pair(src: bytes) -> tuple[bytes, bytes, bytes]:
+        """(table bytes, fsst payload, fsst+zlib payload) — one train,
+        one compress, shared between both fsst candidates."""
+        table = fsst.train(src)
+        comp = fsst.compress(src, table)
+        tb = table.serialize()
+        return tb, comp, zlib.compress(comp, ZLIB_LEVEL)
+
+    if len(data) < BLOCK_FSST_MIN:
+        z = zlib.compress(data, _zlevel(len(data)))
+        return ("zlib", z) if len(z) < len(data) else ("plain", data)
 
     if len(data) <= BLOCK_SAMPLE_THRESHOLD:
-        cands = [_full(n) for n in ("plain", "zlib", "fsst", "fsst_zlib")]
+        tb, comp, compz = _fsst_pair(data)
+        cands = [
+            ("plain", data),
+            ("zlib", zlib.compress(data, _zlevel(len(data)))),
+            ("fsst", frame(tb, comp)),
+            ("fsst_zlib", frame(tb, compz)),
+        ]
         return min(cands, key=lambda t: len(t[1]))
 
     # Large block: shortlist on a deterministic sample, then encode once.
     s = fsst._sample(data, budget=1 << 16)
     table = fsst.train(s)
-    fs = fsst.compress(s, table)
+    comp_s = fsst.compress(s, table)
+    tb = table.serialize()
     est = {
         "plain": len(s),
         "zlib": len(zlib.compress(s, ZLIB_LEVEL)),
-        "fsst": len(fs) + len(table.serialize()),
-        "fsst_zlib": len(zlib.compress(fs, ZLIB_LEVEL)) + len(table.serialize()),
+        "fsst": len(comp_s) + len(tb),
+        "fsst_zlib": len(zlib.compress(comp_s, ZLIB_LEVEL)) + len(tb),
     }
     if len(data) > BLOCK_FSST_MARGIN_THRESHOLD:
         # throughput-aware: on huge blocks FSST must win by a clear margin
@@ -290,9 +327,16 @@ def encode_block(data: bytes) -> tuple[str, bytes]:
             if est[k] > est["zlib"] * BLOCK_FSST_MARGIN:
                 est[k] = 1 << 62
     winner = min(est, key=est.get)
-    name, payload = _full(winner)
-    if len(payload) >= len(data):  # never regress past plain
-        return "plain", data
+    if winner in ("fsst", "fsst_zlib"):
+        # reuse the sample-trained table for the full block (FSST paper
+        # trains on a sample; retraining on the full data doesn't pay)
+        comp = fsst.compress(data, table)
+        payload = frame(tb, comp) if winner == "fsst" else \
+            frame(tb, zlib.compress(comp, _zlevel(len(comp))))
+        if len(payload) >= len(data):
+            return "plain", data
+        return winner, payload
+    name, payload = encode_block_named(data, winner)
     return name, payload
 
 
@@ -345,19 +389,48 @@ def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None) 
     )
 
 
-def encode_strings(arr: pa.Array, _nested: bool = False) -> Enc:
+def encode_strings(arr: pa.Array, _nested: bool = False, hint: dict | None = None) -> Enc:
+    """``hint`` pins the previous chunk's choice for this column
+    ({"c": "sraw"|"sdict", "b": block codec}) so steady-state chunks
+    skip the candidate trials — the kernel re-probes periodically."""
     lens, data = _string_parts(arr)
     n = lens.size
     if n == 0:
         return Enc("sconst", b"", {"e": 1})
-    if n > 1:
-        d = pc.dictionary_encode(arr)
+
+    # hint fast path: skip cardinality probing entirely (sraw never
+    # needs the dictionary; a constant chunk still round-trips fine)
+    if hint is not None and hint.get("c") == "sraw":
+        le = encode_ints(lens)
+        blk_name, blk_payload = encode_block_named(data, hint.get("b", "zlib"))
+        return Enc("sraw", frame(le.payload, blk_payload),
+                   {"l": le.nested(), "b": blk_name})
+
+    # sampled cardinality gate: dictionary-encoding hashes every byte,
+    # which is wasted work on (near-)all-unique columns like content —
+    # probe a prefix first (A10-style stats sampling, SURVEY.md §2.4)
+    d = None
+    nuniq = None
+    if n == 1:
+        nuniq = 1
     else:
-        d = None
-    nuniq = len(d.dictionary) if d is not None else 1
+        n_probe = min(n, 1024)
+        d_probe = pc.dictionary_encode(arr.slice(0, n_probe))
+        if n_probe < n and len(d_probe.dictionary) > 0.9 * n_probe:
+            nuniq = n  # effectively all-unique: skip full dict pass
+        else:
+            d = pc.dictionary_encode(arr)
+            nuniq = len(d.dictionary)
 
     if nuniq == 1:
         return Enc("sconst", data[: lens[0]] if n else b"", {"l": int(lens[0])})
+
+    if hint is not None and hint.get("c") == "sdict" and d is not None and nuniq < n:
+        codes = np.asarray(d.indices, dtype=np.int64)
+        ce = encode_ints(codes)
+        ve = encode_strings(d.dictionary, _nested=True)
+        return Enc("sdict", frame(ce.payload, ve.payload),
+                   {"k": nuniq, "cd": ce.nested(), "v": ve.nested()})
 
     cands: list[Enc] = []
     le = encode_ints(lens)
@@ -366,7 +439,7 @@ def encode_strings(arr: pa.Array, _nested: bool = False) -> Enc:
                      {"l": le.nested(), "b": blk_name},
                      cost=len(le.payload) + len(blk_payload) * DECODE_COST[blk_name]))
 
-    if not _nested and nuniq <= max(16, n // 2) and nuniq < n:
+    if not _nested and d is not None and nuniq <= max(16, n // 2) and nuniq < n:
         codes = np.asarray(d.indices, dtype=np.int64)
         ce = encode_ints(codes)
         ve = encode_strings(d.dictionary, _nested=True)
@@ -441,7 +514,7 @@ def _combine(arr) -> pa.Array:
     return arr
 
 
-def encode_array(arr) -> ChunkEncoding:
+def encode_array(arr, hint: dict | None = None) -> ChunkEncoding:
     arr = _combine(arr)
     t = arr.type
     atype = type_to_str(t)
@@ -460,7 +533,7 @@ def encode_array(arr) -> ChunkEncoding:
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         work = pc.fill_null(arr, b"" if pa.types.is_binary(t) or pa.types.is_large_binary(t) else "")
-        enc = encode_strings(_combine(work))
+        enc = encode_strings(_combine(work), hint=hint)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         work = _combine(arr)
         flat = _combine(work.flatten())  # flatten() skips null slots' ranges

@@ -310,32 +310,37 @@ def train(data: bytes, iterations: int = 5, max_symbols: int = MAX_SYMBOLS) -> F
         L = bl[tok]
         esc = L == 0
 
+        sym_lens = np.array([len(s) for s in table.symbols] + [1], dtype=np.int64)
         gains: dict[bytes, int] = {}
 
-        def add(sym: bytes, cnt: int):
-            gains[sym] = gains.get(sym, 0) + cnt * max(len(sym) - 1, 1)
-
-        # existing symbols by emission count
-        code_counts = np.bincount(bc[tok[~esc]], minlength=256)
-        for code, c in enumerate(code_counts[: len(table.symbols)]):
-            if c:
-                add(table.symbols[code], int(c))
+        # existing symbols by emission count (vector gain, tiny dict)
+        code_counts = np.bincount(bc[tok[~esc]], minlength=256)[: len(table.symbols)]
+        g_sym = code_counts * np.maximum(sym_lens[: len(table.symbols)] - 1, 1)
+        for code in np.flatnonzero(code_counts):
+            gains[table.symbols[code]] = int(g_sym[code])
         # escaped bytes become single-byte candidates
         if esc.any():
             esc_counts = np.bincount(a[tok[esc]], minlength=256)
-            for b, c in enumerate(esc_counts):
-                if c:
-                    add(bytes([b]), int(c))
-        # adjacent non-escape token pairs -> concatenation candidates
+            for b in np.flatnonzero(esc_counts):
+                s = bytes([b])
+                gains[s] = gains.get(s, 0) + int(esc_counts[b])
+        # adjacent non-escape token pairs -> concatenation candidates;
+        # gains computed vectorized, only the top candidates materialize
         if tok.size >= 2:
             both = (~esc[:-1]) & (~esc[1:])
             if both.any():
                 keys = bc[tok[:-1][both]].astype(np.int64) * 256 + bc[tok[1:][both]]
                 uk, uc = np.unique(keys, return_counts=True)
-                for k, c in zip(uk, uc):
+                pair_len = sym_lens[uk // 256] + sym_lens[uk % 256]
+                ok = pair_len <= MAX_SYMBOL_LEN
+                uk, uc, pair_len = uk[ok], uc[ok], pair_len[ok]
+                g = uc * (pair_len - 1)
+                if g.size > max_symbols:
+                    top = np.argpartition(-g, max_symbols)[:max_symbols]
+                    uk, g = uk[top], g[top]
+                for k, gv in zip(uk, g):
                     s = table.symbols[int(k) // 256] + table.symbols[int(k) % 256]
-                    if len(s) <= MAX_SYMBOL_LEN:
-                        add(s, int(c))
+                    gains[s] = gains.get(s, 0) + int(gv)
 
         best = sorted(gains.items(), key=lambda kv: kv[1], reverse=True)[:max_symbols]
         table = FsstTable([s for s, _ in best])

@@ -81,11 +81,36 @@ _ENC_ARROW = pa.schema(
 )
 
 
-def encode_chunk(tbl: pa.Table, part_id: int, chunk_id: int, row_start: int) -> pa.RecordBatch:
-    """Encode one row-chunk of a table → one encoded row per column."""
+PROBE_EVERY = 8  # re-run full codec selection every Nth chunk per column
+
+
+def encode_chunk(tbl: pa.Table, part_id: int, chunk_id: int, row_start: int,
+                 memo: dict | None = None) -> pa.RecordBatch:
+    """Encode one row-chunk of a table → one encoded row per column.
+
+    ``memo`` is the adaptive selector state: per column, the previous
+    chunk's string-codec choice is trusted (skipping candidate trials,
+    incl. the FSST sample training) and re-probed every PROBE_EVERY
+    chunks — the steady-state amortization analog of the reference's
+    skip-if-already-annotated check (SURVEY.md §4 X9)."""
     rows = {k: [] for k in _ENC_ARROW.names}
     for col in tbl.column_names:
-        enc = encode_array(tbl[col])
+        hint = None
+        if memo is not None:
+            prev, age = memo.get(col, (None, 0))
+            if prev is not None and age < PROBE_EVERY:
+                hint = prev
+        enc = encode_array(tbl[col], hint=hint)
+        if memo is not None:
+            import json as _json
+
+            m = _json.loads(enc.meta)
+            if m["c"] in ("sraw", "sdict"):
+                new_hint = {"c": m["c"], "b": m["m"].get("b", "zlib")}
+                _, age = memo.get(col, (None, 0))
+                memo[col] = (new_hint, 0 if hint is None else age + 1)
+            else:
+                memo[col] = (None, 0)
         rows["part_id"].append(part_id)
         rows["chunk_id"].append(chunk_id)
         rows["row_start"].append(row_start)
@@ -112,6 +137,7 @@ def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
         buffered_bytes = 0
         chunk_id = 0
         row_start = 0
+        memo: dict = {}  # adaptive selector state (per task)
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -123,7 +149,7 @@ def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
                 take = min(chunk_rows, tbl.num_rows)
                 chunk = tbl.slice(0, take)
                 rest = tbl.slice(take)
-                yield encode_chunk(chunk, pid, chunk_id, row_start)
+                yield encode_chunk(chunk, pid, chunk_id, row_start, memo)
                 chunk_id += 1
                 row_start += take
                 buf = rest.to_batches() if rest.num_rows else []
@@ -133,7 +159,7 @@ def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
                     break
         if buffered:
             tbl = pa.Table.from_batches(buf)
-            yield encode_chunk(tbl, pid, chunk_id, row_start)
+            yield encode_chunk(tbl, pid, chunk_id, row_start, memo)
 
     return kernel
 
