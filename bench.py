@@ -61,6 +61,8 @@ def main() -> None:
         return enc, stats["r"], stats["e"]
 
     corpus.count()  # materialize input outside the timed region
+    # warm python workers / JIT outside the timed region
+    encode_df(corpus.limit(2000)).agg(F.sum("enc_bytes")).collect()
     t0 = time.time()
     enc, raw_b, enc_b = corpus_encode()
     dt = time.time() - t0

@@ -1,0 +1,126 @@
+"""Engine facade: the reference's `Variants` workflow, Spark-first.
+
+Mirrors the user-visible lifecycle of
+/root/reference/howard/objects/variants.py (load_data -> annotation ->
+calculation -> prioritization -> query -> export, §3 of SURVEY.md) as a
+thin object over a SparkSession. Where the reference mutates one DuckDB
+table in place (ALTER/UPDATE), this accumulates lazy DataFrame
+transformations and executes once at export/collect — Catalyst sees the
+whole pipeline (§2.9: the UPDATE idiom disappears).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.info import explode_info, info_get
+from .operators.variants import (
+    Criterion,
+    annotate_equi,
+    annotate_regions,
+    best_transcript,
+    classify_variant,
+    prioritize,
+)
+from .sources import read_table, write_table
+
+TABLE_NAME = "variants"  # the reference's single table abstraction
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, input_path: str | None = None,
+                 fmt: str | None = None, df: DataFrame | None = None):
+        self.spark = spark
+        if df is None and input_path is not None:
+            df = read_table(spark, input_path, fmt=fmt)
+        if df is None:
+            raise ValueError("provide input_path or df")
+        self.df = df
+        self._register()
+
+    # -- lifecycle ---------------------------------------------------------
+    def _register(self):
+        self.df.createOrReplaceTempView(TABLE_NAME)
+
+    def query(self, sql: str) -> DataFrame:
+        """Ad-hoc SQL over the registered view (the `howard query` tool,
+        /root/reference/howard/tools/query.py:72-97)."""
+        self._register()
+        return self.spark.sql(sql)
+
+    def annotation(self, db: DataFrame | str, fields: list[str] | None = None,
+                   regions: bool = False) -> "Engine":
+        """Annotate from a variants-type or regions-type database
+        (routes like /root/reference/howard/objects/variants.py:2888)."""
+        ann = db if isinstance(db, DataFrame) else read_table(self.spark, db)
+        if regions or {"START", "END"} <= set(ann.columns):
+            self.df = annotate_regions(self.df, ann, fields=fields)
+        else:
+            self.df = annotate_equi(self.df, ann, fields=fields)
+        self._register()
+        return self
+
+    def calculation_variant_class(self, out_field: str = "VARTYPE") -> "Engine":
+        from pyspark.sql import functions as F
+
+        from .functions.info import info_set
+
+        self.df = self.df.withColumn(
+            "INFO", info_set("INFO", out_field, classify_variant())
+        )
+        self._register()
+        return self
+
+    def explode_infos(self, fields: list[str], prefix: str = "INFO/") -> "Engine":
+        self.df = explode_info(self.df, "INFO", fields, prefix=prefix)
+        self._register()
+        return self
+
+    def prioritization(self, criteria: list[Criterion]) -> "Engine":
+        self.df = prioritize(self.df, criteria)
+        self._register()
+        return self
+
+    def transcripts_best(self, preference: DataFrame | None = None,
+                         order_cols: list[str] | None = None) -> DataFrame:
+        return best_transcript(self.df, preference=preference, order_cols=order_cols)
+
+    def stats(self) -> dict:
+        """The `howard stats` tool's headline numbers
+        (/root/reference/howard/objects/variants.py:600-783) in one pass."""
+        from pyspark.sql import functions as F
+
+        cls = classify_variant()
+        row = self.df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("#CHROM").alias("n_chrom"),
+            F.sum(F.when(cls == "SNV", 1).otherwise(0)).alias("n_snv"),
+            F.sum(F.when(cls == "InDel", 1).otherwise(0)).alias("n_indel"),
+            F.sum(F.when(cls == "MNV", 1).otherwise(0)).alias("n_mnv"),
+        ).first()
+        per_chrom = {
+            r["#CHROM"]: r["cnt"]
+            for r in self.df.groupBy("#CHROM").agg(F.count("*").alias("cnt")).collect()
+        }
+        return {**row.asDict(), "per_chrom": per_chrom}
+
+    def export(self, path: str, fmt: str | None = None,
+               order_by: list[str] | None = None, **kw) -> "Engine":
+        write_table(self.df, path, fmt=fmt, order_by=order_by, **kw)
+        return self
+
+    # -- encoded storage layer ----------------------------------------------
+    def encode(self, out_dir: str, keys: list[str] | None = None, **kw) -> dict:
+        """Persist through the lightweight-codec storage layer (the
+        graft's replacement for the reference's Parquet/DuckDB files)."""
+        from .checkpoint import encode_to_dir
+
+        keys = keys or [c for c in ("#CHROM", "POS", "repo", "path") if c in self.df.columns]
+        return encode_to_dir(self.df, out_dir, keys=keys, **kw)
+
+    @classmethod
+    def from_encoded(cls, spark: SparkSession, enc_dir: str, schema) -> "Engine":
+        from .checkpoint import read_encoded
+        from .encode import decode_df
+
+        return cls(spark, df=decode_df(read_encoded(spark, enc_dir), schema))

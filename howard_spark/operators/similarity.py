@@ -159,16 +159,24 @@ def q42(spark, sf):
 )
 def q43(spark, sf):
     """Embedding-cosine near-duplicate pairs within label buckets —
-    the embedding flavor of dedup (threshold 0.9)."""
+    the embedding flavor of dedup (threshold 0.9).
+
+    Norms are computed ONCE per vector before the self-join (n rows),
+    not once per pair (n² evaluations) — only the dot product runs
+    inside the join."""
     e = t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-                 F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-                 F.col("embedding").alias("eb"))
-    cos = _cosine("ea", "eb")
+    norm = F.sqrt(F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    ))
+    en = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    a = en.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = en.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_sim_raw", cos)
+        .withColumn("cos_sim_raw", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim_raw") > 0.9)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
