@@ -164,7 +164,11 @@ def q43(spark, sf):
     Norms are computed ONCE per vector before the self-join (n rows),
     not once per pair (n² evaluations) — only the dot product runs
     inside the join."""
-    e = t(spark, sf, "embeddings")
+    # single small input file = one split; repartition so the O(n²/labels)
+    # pair work spreads across cores (same reasoning as _shingles_df)
+    e = t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norm = F.sqrt(F.expr(
         "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
     ))
