@@ -202,9 +202,9 @@ def encode_floats(vals: np.ndarray) -> Enc:
 
     cands: list[Enc] = []
     for scale in (1, 100):
-        scaled = vals * scale
-        r = np.round(scaled)
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore", over="ignore"):
+            scaled = vals * scale
+            r = np.round(scaled)
             ok = (
                 np.isfinite(vals).all()
                 and (np.abs(r) < 2**53).all()

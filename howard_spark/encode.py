@@ -225,6 +225,26 @@ def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = No
     return enc.groupBy("part_id", "chunk_id").applyInArrow(kernel, out_schema)
 
 
+def save_encoded_table(enc: DataFrame, name: str, buckets: int = 64) -> None:
+    """Persist encoded chunk rows BUCKETED by (part_id, chunk_id).
+
+    This is the at-scale layout: ``decode_df`` groups on exactly those
+    keys, so a bucketed scan already satisfies the required clustering
+    and the decode plan contains NO Exchange — reading N TB of encoded
+    data back never shuffles payloads (asserted in
+    tests/test_encode_spark.py::test_bucketed_decode_no_shuffle)."""
+    (enc.write.mode("overwrite")
+        .bucketBy(buckets, "part_id", "chunk_id")
+        .sortBy("part_id", "chunk_id")
+        .saveAsTable(name))
+
+
+def decode_table(spark, name: str, schema: StructType,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Shuffle-free decode of a bucketed encoded table."""
+    return decode_df(spark.table(name), schema, columns=columns)
+
+
 def encoded_summary(enc: DataFrame) -> DataFrame:
     """Codec-choice + size metrics per column (lineage/observability)."""
     return (

@@ -148,6 +148,28 @@ def test_checkpoint_resume_byte_identical(spark, corpus, tmp_path):
     assert verify_roundtrip(corpus, dec, [f.name for f in corpus.schema.fields]) == 0
 
 
+def test_bucketed_decode_no_shuffle(spark, corpus, tmp_path):
+    """At-scale read path: decode from a bucketed encoded table must
+    contain zero Exchange operators (payloads never shuffle)."""
+    import contextlib
+    import io
+    import re
+
+    from howard_spark.encode import decode_table, save_encoded_table
+
+    try:
+        enc = encode_df(corpus, chunk_rows=1024, partition_by=["repo", "path"])
+        save_encoded_table(enc, "enc_corpus_test", buckets=8)
+        dec = decode_table(spark, "enc_corpus_test", corpus.schema, columns=["repo", "lang"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            dec.explain("formatted")
+        assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 0
+        assert dec.count() == N_ROWS
+    finally:
+        spark.sql("DROP TABLE IF EXISTS enc_corpus_test")
+
+
 def test_resume_noop_when_complete(spark, corpus, tmp_path):
     d = str(tmp_path / "full")
     encode_to_dir(corpus, d, keys=["repo", "path"], npartitions=4, chunk_rows=2048)
