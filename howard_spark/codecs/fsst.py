@@ -272,6 +272,8 @@ def decompress(data: bytes, table: FsstTable) -> bytes:
         rows[literal_pos] = 0
         rows[literal_pos, 0] = codes[literal_pos]
 
+    # (n, 8) boolean-mask extraction benchmarked fastest among per-length
+    # scatter / per-column scatter / mask variants
     mask = np.arange(MAX_SYMBOL_LEN) < lens[:, None]
     return rows[mask].tobytes()
 
