@@ -142,7 +142,13 @@ def _gen_batch(ids: np.ndarray, n_repos: int, big_row_every: int) -> pa.RecordBa
             raw = g.integers(0x20, 0x7F, size=2048, dtype=np.uint8)
             contents.append(raw.tobytes().decode("ascii"))
         else:
-            body = _TEMPLATES[t_idx[i]] * int(rep[i])
+            # per-file identifier renames: real code shares structure but
+            # not literal bytes across files — keeps compression honest
+            tpl = _TEMPLATES[t_idx[i]]
+            tpl = tpl.replace("value", f"value_{(_id * 2654435761) % 9973:x}")
+            tpl = tpl.replace("result", f"res_{(_id * 40503) % 887:x}")
+            tpl = tpl.replace("index", f"i{_id % 63}")
+            body = tpl * int(rep[i])
             extra = "→λ∞ 世界 🎉\n" if _id % 13 == 0 else ""
             contents.append(f"// file {_id} of {repos[-1]}\n{extra}{body}")
 
