@@ -58,6 +58,8 @@ ENCODED_SCHEMA = StructType(
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
         StructField("sha", StringType(), False),
+        StructField("vmin", StringType(), True),
+        StructField("vmax", StringType(), True),
         StructField("meta", StringType(), False),
         StructField("payload", BinaryType(), False),
     ]
@@ -75,6 +77,8 @@ _ENC_ARROW = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("sha", pa.string()),
+        ("vmin", pa.string()),
+        ("vmax", pa.string()),
         ("meta", pa.string()),
         ("payload", pa.binary()),
     ]
@@ -121,6 +125,17 @@ def encode_chunk(tbl: pa.Table, part_id: int, chunk_id: int, row_start: int,
         rows["raw_bytes"].append(enc.raw_bytes)
         rows["enc_bytes"].append(enc.enc_bytes)
         rows["sha"].append(hashlib.sha256(enc.payload).hexdigest()[:16])
+        vmin = vmax = None
+        t = tbl[col].type
+        if enc.n_rows and not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                               or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(tbl[col])
+            if mm["min"].is_valid:
+                vmin, vmax = str(mm["min"].as_py()), str(mm["max"].as_py())
+        rows["vmin"].append(vmin)
+        rows["vmax"].append(vmax)
         rows["meta"].append(enc.meta)
         rows["payload"].append(enc.payload)
     return pa.RecordBatch.from_pydict(rows, schema=_ENC_ARROW)
@@ -223,6 +238,40 @@ def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = No
     out_schema = StructType(fields)
     kernel = _decode_kernel([(f.name, f.dataType) for f in fields])
     return enc.groupBy("part_id", "chunk_id").applyInArrow(kernel, out_schema)
+
+
+def prune_chunks(enc: DataFrame, column: str, lo=None, hi=None,
+                 dtype: str | None = None) -> DataFrame:
+    """Data skipping on per-chunk min/max stats (the Spark analog of the
+    reference's (#CHROM,POS,REF,ALT) indexes, SURVEY.md §4 X6, and of
+    Parquet footer stats).
+
+    Keeps only the chunks whose [vmin, vmax] for ``column`` intersects
+    [lo, hi] — ALL columns of surviving chunks are kept so the result
+    still decodes. The semi-join key set is tiny (part_id, chunk_id),
+    and the stats filter pushes into the encoded table's scan; pruned
+    payloads are never read past the footer at scale.
+
+    The predicate remains a *superset* filter: re-apply the row-level
+    filter after decode for exact semantics.
+    """
+    stats = enc.where(F.col("column") == column)
+    if dtype:
+        vmin = F.col("vmin").cast(dtype)
+        vmax = F.col("vmax").cast(dtype)
+        lo_c = F.lit(lo).cast(dtype) if lo is not None else None
+        hi_c = F.lit(hi).cast(dtype) if hi is not None else None
+    else:
+        vmin, vmax = F.col("vmin"), F.col("vmax")
+        lo_c = F.lit(lo) if lo is not None else None
+        hi_c = F.lit(hi) if hi is not None else None
+    cond = F.lit(True)
+    if hi is not None:
+        cond = cond & (vmin <= hi_c)
+    if lo is not None:
+        cond = cond & (vmax >= lo_c)
+    keep = stats.where(cond).select("part_id", "chunk_id").distinct()
+    return enc.join(F.broadcast(keep), ["part_id", "chunk_id"], "left_semi")
 
 
 def save_encoded_table(enc: DataFrame, name: str, buckets: int = 64) -> None:
