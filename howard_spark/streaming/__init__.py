@@ -1,5 +1,5 @@
 """Structured Streaming operators (event-stream side of the engine)."""
 
-from .windows import sessionize, windowed_event_counts
+from .windows import encode_stream, sessionize, windowed_event_counts
 
-__all__ = ["windowed_event_counts", "sessionize"]
+__all__ = ["windowed_event_counts", "sessionize", "encode_stream"]

@@ -142,3 +142,32 @@ def test_frame_sampling_plan(spark):
     vids = media.where("kind = 'video'").select("media_id", "duration_ms").collect()
     expect = sum(v["duration_ms"] // 1000 + 1 for v in vids)
     assert frames.count() == expect
+
+
+def test_encode_stream_roundtrip(spark, sf_dir, tmp_path):
+    """Continuous ingest: stream -> codec engine -> encoded store ->
+    decode equals the batch input (sha multiset)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from howard_spark.encode import decode_df
+    from howard_spark.streaming import encode_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    out = str(tmp_path / "enc_stream")
+    q = encode_stream(stream, out, keys=["user_id", "event_id"], npartitions=4)
+    q.awaitTermination(180)
+
+    enc = spark.read.parquet(f"{out}/batch=*/data")
+    dec = decode_df(enc, events.schema)
+    assert dec.count() == events.count()
+    sig = lambda d: d.select(
+        F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in events.columns]), 256).alias("h")
+    ).groupBy("h").count()
+    assert sig(events).exceptAll(sig(dec)).isEmpty()
