@@ -160,7 +160,8 @@ multiprocessing pool shows the same ceiling — i.e., the limit is the
 host, not the plan.
 """
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "BENCH"), exist_ok=True)
-    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH", "BASELINE.md")
+    # BASELINE.md is the curated multi-run report; raw runs land next to it
+    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH", "last_run.md")
     with open(out_path, "w") as fh:
         fh.write(md)
     print(f"wrote {out_path}")
