@@ -57,28 +57,29 @@ def q21(spark, sf):
     "q22_quality_score",
     """
     SELECT doc_id,
-           round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                 / greatest(length(text), 1), 6) AS digit_ratio,
-           round(CAST(length(text) - length(replace(lower(text), ' the ', ''))
-                 AS DOUBLE), 1) AS stopword_signal
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_cnt,
+           CAST(length(text) - length(replace(lower(text), ' the ', '')) AS BIGINT)
+               AS stopword_signal,
+           CAST(length(text) AS BIGINT) AS len_chars
     FROM documents
     """,
 )
 def q22(spark, sf):
-    """Quality scoring: punctuation / digit / stopword ratios —
-    length-delta counting, identical algebra in both engines."""
+    """Quality scoring signals: punctuation / digit / stopword counts +
+    length — exact integers (ratios are derivable; integer ratios can
+    land exactly on decimal rounding ties where engines' round() rules
+    disagree, so the gate compares counts)."""
     d = t(spark, sf, "documents")
-    ln = F.greatest(F.length("text"), F.lit(1))
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    stop = (F.length("text") - F.length(F.replace(F.lower("text"), F.lit(" the "), F.lit("")))).cast("double")
+    stop = F.length("text") - F.length(F.replace(F.lower("text"), F.lit(" the "), F.lit("")))
     return d.select(
         "doc_id",
-        F.round(punct.cast("double") / ln, 6).alias("punct_ratio"),
-        F.round(digits.cast("double") / ln, 6).alias("digit_ratio"),
-        F.round(stop, 1).alias("stopword_signal"),
+        punct.cast("long").alias("punct_cnt"),
+        digits.cast("long").alias("digit_cnt"),
+        stop.cast("long").alias("stopword_signal"),
+        F.length("text").cast("long").alias("len_chars"),
     )
 
 
