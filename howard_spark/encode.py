@@ -179,13 +179,20 @@ def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
     return kernel
 
 
-def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt",
+         within: list[str] | None = None) -> DataFrame:
     """Explicit skew salting: spread a hot key across ``buckets`` splits.
 
     Salting happens *within* the key so range locality survives —
-    append ``salt_col`` last in the partitioning keys.
+    append ``salt_col`` last in the partitioning keys. The salt is a
+    DETERMINISTIC pure function of row content (xxhash64 of ``key``
+    plus ``within`` tiebreaker columns, default: all other columns),
+    so partition membership is stable across runs/retries and the
+    checkpoint byte-identical-resume invariant holds.
     """
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"))
+    tiebreak = within if within is not None else [c for c in df.columns if c != key]
+    h = F.xxhash64(F.col(key), *[F.col(c) for c in tiebreak])
+    return df.withColumn(salt_col, F.pmod(h, F.lit(buckets)).cast("int"))
 
 
 def encode_df(
@@ -270,6 +277,10 @@ def prune_chunks(enc: DataFrame, column: str, lo=None, hi=None,
         cond = cond & (vmin <= hi_c)
     if lo is not None:
         cond = cond & (vmax >= lo_c)
+    # Chunks with no stats (binary/list columns, all-null chunks) have
+    # NULL vmin/vmax — they MUST survive, or the "superset" promise
+    # silently becomes an empty result.
+    cond = cond | F.col("vmin").isNull() | F.col("vmax").isNull()
     keep = stats.where(cond).select("part_id", "chunk_id").distinct()
     return enc.join(F.broadcast(keep), ["part_id", "chunk_id"], "left_semi")
 

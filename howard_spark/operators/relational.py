@@ -164,9 +164,9 @@ def q05(spark, sf):
     "q06_conditional_counts",
     """
     SELECT count(*) AS n_total,
-           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-           sum(CASE WHEN l_quantity >= 30 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_bulk_taxed
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_quantity >= 30 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk_taxed
     FROM lineitem
     """,
 )

@@ -99,42 +99,83 @@ def q41(spark, sf):
     )
 
 
-@query("q42_ann_lsh")  # rows-only: hyperplane constants aren't portable SQL
-def q42(spark, sf):
-    """LSH-bucketed ANN: sign-bit buckets from 8 deterministic
-    pseudo-random hyperplanes (seeded per dimension), then cosine only
-    within the query's bucket. The all-pairs scan becomes an equi-join
-    on bucket — the 100-TB scale path; brute-force q40 is the oracle
-    for recall, LSH trades recall for a ~2^8 candidate reduction."""
+# --- deterministic hyperplane family (seeded, fixed DIM) ----------------
+# The testdata embeddings are DIM=64 at every SF; the planes are module
+# literals so the SAME constants can be inlined into both the Spark plan
+# and the generated DuckDB oracle SQL — making the LSH path fully
+# hash-checkable, not rows-only.
+DIM = 64
+N_PLANES = 8
+
+
+def _planes():
     import numpy as np
 
+    return np.random.RandomState(42).standard_normal((N_PLANES, DIM))
+
+
+PLANES = [[float(x) for x in p] for p in _planes()]
+
+
+def _plane_sql_lit(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _proj_sql(col: str, p: list[float]) -> str:
+    """Projection onto a literal hyperplane, double precision, element
+    fold order — identical arithmetic to the Spark side."""
+    return (
+        f"list_aggregate(list_transform(list_zip({col}, {_plane_sql_lit(p)}), "
+        f"s -> CAST(s[1] AS DOUBLE) * s[2]), 'sum')"
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    terms = [
+        f"(CASE WHEN {_proj_sql(col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _proj_col(col: str, p: list[float]):
+    arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")"
+    return F.expr(
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_col(col: str):
+    b = F.lit(0)
+    for i, p in enumerate(PLANES):
+        b = b + F.when(_proj_col(col, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+@query(
+    "q42_ann_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id,
+           round({_cosine_sql('e.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM b e, q
+    WHERE e.vec_id <> 0 AND e.bucket = q.qb
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q42(spark, sf):
+    """LSH-bucketed ANN: sign-bit buckets from 8 deterministic seeded
+    hyperplanes, then cosine only within the query's bucket. The
+    all-pairs scan becomes an equi-filter on bucket — the 100-TB scale
+    path (~2^8 candidate reduction); q40 brute-force measures recall.
+    The hyperplane constants are inlined as literals into the DuckDB
+    oracle, so this gate is fully hash-checked."""
     e = t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    rng = np.random.RandomState(42)
-    planes = rng.standard_normal((8, dim))
-
-    def bucket_expr(col):
-        bits = []
-        for i, p in enumerate(planes):
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            proj = F.expr(
-                f"aggregate(zip_with({col}, p{i}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-            )
-            bits.append((proj, i))
-        return bits
-
-    df = e
-    for i, p in enumerate(planes):
-        df = df.withColumn(f"p{i}", F.array(*[F.lit(float(x)) for x in p]))
-    bucket = None
-    for i in range(8):
-        proj = F.expr(
-            f"aggregate(zip_with(embedding, p{i}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
-        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    df = df.select("vec_id", "embedding", bucket.alias("bucket"))
-
+    df = e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
     qrow = df.where(F.col("vec_id") == 0).first()
     qb, qvec = qrow["bucket"], qrow["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
@@ -183,4 +224,74 @@ def q43(spark, sf):
         .withColumn("cos_sim_raw", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim_raw") > 0.9)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+# q44 gate threshold: the synthetic embeddings have no true near-dups
+# (max pairwise cosine ~0.51 at sf0.01), so a 0.9 gate would pass
+# vacuously on zero rows. 0.35 pushes a few hundred real pairs through
+# the full band-join -> exact-cosine pipeline; production near-dup
+# callers pass their own threshold (see q43's 0.9).
+NEARDUP_LSH_THRESHOLD = 0.35
+
+
+@query(
+    "q44_embedding_neardup_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket % 16 AS bkey FROM b
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket // 16 AS bkey FROM b
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
+           round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} > {NEARDUP_LSH_THRESHOLD}
+    """,
+)
+def q44(spark, sf):
+    """Scale-safe embedding near-dup: candidate pairs come from
+    hyperplane LSH BANDS (2 bands x 4 sign bits), not from the data
+    `label` — a hot label cannot make the self-join quadratic, because
+    bucket occupancy is governed by the hyperplane family, not by data
+    skew. q43 (exact within-label) remains the recall verifier.
+
+    Plan shape: one scan computes buckets; the band self-join is an
+    equi-join on (band, band_key) shuffling only (vec_id, key) pairs;
+    embeddings are joined back ONLY for surviving candidate ids; exact
+    cosine filters at NEARDUP_LSH_THRESHOLD. Fully oracle-checked — the
+    seeded hyperplane constants are inlined into the DuckDB SQL."""
+    e = t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    b = e.select("vec_id", _bucket_col("embedding").alias("bucket"))
+    bands = b.select(
+        "vec_id", F.lit(0).alias("band"), F.pmod("bucket", F.lit(16)).alias("bkey")
+    ).unionByName(
+        b.select("vec_id", F.lit(1).alias("band"),
+                 F.shiftright("bucket", 4).alias("bkey"))
+    )
+    x = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    y = bands.select(F.col("vec_id").alias("vec_b"), F.col("band").alias("band2"),
+                     F.col("bkey").alias("bkey2"))
+    cand = (
+        x.join(y, (F.col("band") == F.col("band2")) & (F.col("bkey") == F.col("bkey2"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b").distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos_raw", _cosine("ea", "eb"))
+        .where(F.col("cos_raw") > NEARDUP_LSH_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )

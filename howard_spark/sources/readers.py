@@ -68,7 +68,11 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None,
         if schema:
             r = r.schema(schema)
         df = r.csv(path)
-        if fmt == "bed" and not header:
+        if fmt == "bed":
+            # BED is always read header=false (option above), so the
+            # positional rename must be unconditional — otherwise
+            # Engine.annotation sees _c0/_c1/_c2 and mis-routes .bed
+            # databases to annotate_equi (needs #CHROM/START/END).
             base = ["#CHROM", "START", "END"]
             names = base + [f"c{i}" for i in range(len(df.columns) - 3)]
             df = df.toDF(*names[: len(df.columns)])
