@@ -34,4 +34,5 @@ def load_all():
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import encode_queries  # noqa: F401
+    from . import hgvs_queries  # noqa: F401
     return QUERIES, ORACLES

@@ -1,0 +1,177 @@
+"""HGVS generation (F9) golden tests.
+
+Layer 1: genomic<->cdna coordinate conversion against published hg19
+coordinates for real transcripts (BRCA1, ACADM, APC, SGCA — public
+UCSC refGene records in tests/fixtures/refgene_mock.txt). These are
+the same coordinate facts the reference validates against
+(/root/reference/tests/test_objects_hgvs.py:353).
+
+Layer 2: full name formatting on the synthetic deterministic fixture
+(hand-derived expected names).
+
+Layer 3: the distributed operator (interval join + mapInPandas kernel).
+"""
+
+import pytest
+
+from howard_spark.functions.hgvs import (
+    CDNA_STOP,
+    CdnaCoord,
+    format_hgvs_name,
+    read_transcripts,
+)
+from howard_spark.functions.hgvs_fixture import (
+    DEMO_VARIANTS,
+    demo_genome,
+    demo_transcripts,
+)
+
+STOP = CDNA_STOP
+
+# (transcript, genomic 1-based, cdna coord) — published hg19 facts
+CONVERT_COORDS = [
+    ("NM_000016.4", 76190473, CdnaCoord(1)),
+    ("NM_000016.4", 76190472, CdnaCoord(-1)),
+    ("NM_000016.4", 76190043, CdnaCoord(-430)),
+    ("NM_007294.3", 41276112, CdnaCoord(2)),
+    ("NM_007294.3", 41276113, CdnaCoord(1)),
+    ("NM_007294.3", 41276114, CdnaCoord(-1)),
+    ("NM_000016.4", 76190502, CdnaCoord(30)),
+    ("NM_000016.4", 76190503, CdnaCoord(30, 1)),
+    ("NM_000016.4", 76194085, CdnaCoord(31, -1)),
+    ("NM_000016.4", 76194086, CdnaCoord(31)),
+    ("NM_007294.3", 41276034, CdnaCoord(80)),
+    ("NM_007294.3", 41276033, CdnaCoord(80, 1)),
+    ("NM_007294.3", 41267797, CdnaCoord(81, -1)),
+    ("NM_007294.3", 41267796, CdnaCoord(81)),
+    ("NM_000016.4", 76228448, CdnaCoord(1266)),
+    ("NM_000016.4", 76228449, CdnaCoord(1, 0, STOP)),
+    ("NM_000016.4", 76228450, CdnaCoord(2, 0, STOP)),
+    ("NM_007294.3", 41197695, CdnaCoord(5592)),
+    ("NM_007294.3", 41197694, CdnaCoord(1, 0, STOP)),
+    ("NM_007294.3", 41197693, CdnaCoord(2, 0, STOP)),
+    ("NM_007294.3", 41276142, CdnaCoord(-19, -10)),
+    ("NM_000038.5", 112090570, CdnaCoord(-18)),
+    ("NM_000038.5", 112090569, CdnaCoord(-18, -1)),
+    ("NM_000038.5", 112073622, CdnaCoord(-19)),
+    ("NM_000023.2", 48252799, CdnaCoord(1, 0, STOP)),
+    ("NM_000023.2", 48252800, CdnaCoord(2, 0, STOP)),
+    ("NM_000023.2", 48252810, CdnaCoord(12, 0, STOP)),
+    ("NM_000023.2", 48252811, CdnaCoord(12, 1, STOP)),
+    ("NM_000023.2", 48253073, CdnaCoord(13, 0, STOP)),
+    ("NM_000023.2", 48253072, CdnaCoord(13, -1, STOP)),
+    ("NM_007294.3", 41196313, CdnaCoord(1382, 0, STOP)),
+    ("NM_007294.3", 41196312, CdnaCoord(1383, 0, STOP)),
+    ("NM_007294.3", 41196311, CdnaCoord(1384, 0, STOP)),
+    ("NM_007294.3", 41277500, CdnaCoord(-232)),
+    ("NM_007294.3", 41277501, CdnaCoord(-233)),
+    ("NM_000016.4", 76190042, CdnaCoord(-431)),
+    ("NM_000016.4", 76229354, CdnaCoord(906, 0, STOP)),
+    ("NM_000016.4", 76229355, CdnaCoord(907, 0, STOP)),
+    ("NM_000016.4", 76229356, CdnaCoord(908, 0, STOP)),
+]
+
+# intronic / UTR SNVs on real minus-strand ABCC8 (no genome access needed)
+SNV_GOLDEN = [
+    ("NM_000352.3:c.215A>G", ("chr11", 17496508, "T", "C")),
+    ("NM_000352.3:c.72C>A", ("chr11", 17498252, "G", "T")),
+    ("NM_000352.3:c.3885C>G", ("chr11", 17418843, "G", "C")),
+    ("NM_000352.3:c.1630+1G>A", ("chr11", 17464266, "C", "T")),
+    ("NM_000352.3:c.1672-20A>G", ("chr11", 17452526, "T", "C")),
+    ("NM_000352.3:c.1923+5G>T", ("chr11", 17450107, "C", "A")),
+    ("NM_000352.3:c.2041-21G>A", ("chr11", 17449510, "C", "T")),
+    ("NM_000352.3:c.2116+3A>G", ("chr11", 17449411, "T", "C")),
+    ("NM_000492.3:c.*3A>C", ("chr7", 117307165, "A", "C")),
+]
+
+
+@pytest.fixture(scope="module")
+def real_transcripts():
+    with open("tests/fixtures/refgene_mock.txt") as fh:
+        return read_transcripts(fh)
+
+
+def test_genomic_to_cdna_golden(real_transcripts):
+    for name, genomic, expected in CONVERT_COORDS:
+        got = real_transcripts[name].genomic_to_cdna(genomic)
+        assert got == expected, (name, genomic, str(got), str(expected))
+
+
+def test_cdna_to_genomic_golden(real_transcripts):
+    for name, genomic, coord in CONVERT_COORDS:
+        got = real_transcripts[name].cdna_to_genomic(coord)
+        assert got == genomic, (name, str(coord), got, genomic)
+
+
+def test_snv_names_golden(real_transcripts):
+    for expected, (chrom, pos, ref, alt) in SNV_GOLDEN:
+        tm = real_transcripts[expected.split(":")[0]]
+        got = format_hgvs_name(chrom, pos, ref, alt, None, tm,
+                               use_gene=False, use_version=True)
+        assert got == expected, (got, expected)
+
+
+EXPECTED_DEMO = {
+    ("chrT", 135, "A", "T"): "TX1(GENE1):c.5A>T",
+    ("chrT", 120, "T", "C"): "TX1(GENE1):c.-11T>C",
+    ("chrT", 73, "G", "A"): "TX1(GENE1):c.-31+3G>A",
+    ("chrT", 345, "A", "G"): "TX1(GENE1):c.*5A>G",
+    ("chrT", 149, "CA", "C"): "TX1(GENE1):c.25delA",
+    ("chrT", 149, "C", "CA"): "TX1(GENE1):c.25dupA",
+    ("chrT", 149, "CAAAAAA", "C"): "TX1(GENE1):c.20_25del6",
+    ("chrT", 160, "CT", "AG"): "TX1(GENE1):c.30_31delCTinsAG",
+    ("chrT", 500, "T", "C"): "TX2(GENE2):c.61A>G",
+}
+EXPECTED_PROTEIN = {
+    ("chrT", 135, "A", "T"): "TX1(GENE1):p.Gln2Leu",
+    ("chrT", 500, "T", "C"): "TX2(GENE2):p.Val21Val",
+}
+
+
+def test_demo_names():
+    g, ts = demo_genome(), demo_transcripts()
+    for key in DEMO_VARIANTS:
+        chrom, pos, ref, alt = key
+        tm = ts["TX2"] if 450 <= pos <= 580 else ts["TX1"]
+        got = format_hgvs_name(chrom, pos, ref, alt, g, tm, use_gene=True)
+        assert got == EXPECTED_DEMO[key], (key, got)
+    for key, exp in EXPECTED_PROTEIN.items():
+        chrom, pos, ref, alt = key
+        tm = ts["TX2"] if 450 <= pos <= 580 else ts["TX1"]
+        got = format_hgvs_name(chrom, pos, ref, alt, g, tm,
+                               use_gene=True, use_protein=True)
+        assert got == exp, (key, got)
+
+
+def test_exon_numbering(real_transcripts):
+    # BRCA1 is minus-strand: exon 1 is the highest-coordinate exon
+    brca1 = real_transcripts["NM_007294.3"]
+    assert brca1.find_exon_number(41277400) == 1
+    assert brca1.find_exon_number(41197700) == 23
+    acadm = real_transcripts["NM_000016.4"]
+    assert acadm.find_exon_number(76190473) == 1
+    assert acadm.find_exon_number(76229000) == 12
+
+
+def test_spark_annotate_hgvs(spark):
+    from howard_spark.operators.hgvs_spark import annotate_hgvs
+
+    g, ts = demo_genome(), demo_transcripts()
+    rows = [(c, p, r, a) for (c, p, r, a) in DEMO_VARIANTS]
+    df = spark.createDataFrame(rows, "chrom string, pos long, ref string, alt string")
+    out = annotate_hgvs(df, ts, g).collect()
+    assert len(out) == len(DEMO_VARIANTS)
+    for row in out:
+        key = (row["chrom"], row["pos"], row["ref"], row["alt"])
+        assert row["hgvs"] == EXPECTED_DEMO[key], (key, row["hgvs"])
+
+
+def test_spark_annotate_hgvs_no_transcript(spark):
+    """Variants outside every transcript get genomic (g.) names."""
+    from howard_spark.operators.hgvs_spark import annotate_hgvs
+
+    g, ts = demo_genome(), demo_transcripts()
+    df = spark.createDataFrame(
+        [("chrT", 590, "T", "C")], "chrom string, pos long, ref string, alt string")
+    out = annotate_hgvs(df, ts, g).collect()
+    assert out[0]["hgvs"] == ""
