@@ -93,7 +93,8 @@ def vaf_from_ad(fmt: str, sample: str) -> Column:
     """F5 (core case): VAF = alt_depth / total_depth from the AD field
     (/root/reference/howard/functions/commons.py:1225-1295)."""
     ad = F.split(format_field(sample, fmt, "AD"), ",")
-    depths = F.transform(ad, lambda x: x.cast("double"))
+    # try_cast: missing AD is '.' in VCF — must yield NULL, not a cast error
+    depths = F.transform(ad, lambda x: x.try_cast("double"))
     total = F.aggregate(depths, F.lit(0.0), lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
     alt = F.aggregate(
         F.slice(depths, 2, 100), F.lit(0.0), lambda acc, x: acc + F.coalesce(x, F.lit(0.0))
@@ -105,7 +106,7 @@ def genotype_stats(fmt: str, samples: list[str], key: str = "DP") -> dict[str, C
     """F6: per-row min/max/mean of a numeric FORMAT field across samples
     (/root/reference/howard/functions/commons.py:1298-1374)."""
     vals = F.filter(
-        F.array(*[format_field(s, fmt, key).cast("double") for s in samples]),
+        F.array(*[format_field(s, fmt, key).try_cast("double") for s in samples]),
         lambda x: x.isNotNull(),
     )
     n = F.size(vals)

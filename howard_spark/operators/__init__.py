@@ -35,4 +35,5 @@ def load_all():
     from . import similarity  # noqa: F401
     from . import encode_queries  # noqa: F401
     from . import hgvs_queries  # noqa: F401
+    from . import transcripts_queries  # noqa: F401
     return QUERIES, ORACLES

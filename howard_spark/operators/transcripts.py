@@ -1,0 +1,137 @@
+"""Transcripts-view machinery: packed per-transcript annotations ->
+typed transcript rows (reference create_transcript_view,
+/root/reference/howard/objects/variants.py:10506-11616, exercised by
+ref tests/test_variants_transcripts.py).
+
+Two source shapes, both turned into ONE exploded relation:
+
+- snpEff-ANN column format (`from_column_format`,
+  ref variants.py:10732-10859 + annotation_format_to_table:11202):
+  INFO/ANN is a comma-separated list of transcript entries, each entry
+  pipe-separated with field names published in the VCF header
+  description. Spark: split(',') -> explode -> split('|') -> columns.
+  One select, one explode — no per-chromosome INSERT loop; the
+  reference's np.vectorize JSON detour disappears entirely.
+
+- parallel-list columns map (`from_columns_map`, ref
+  variants.py:10506-10730, dbNSFP style): several INFO fields hold
+  ','-separated lists positionally indexed by transcript.
+  Spark: arrays_zip(the split arrays) -> explode — a positional zip,
+  matching DuckDB's multi-unnest semantics.
+
+Both compose with ``best_transcript`` (operators/variants.py) for the
+reference's transcripts_prioritization flow.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.info import info_get
+
+
+def parse_ann_header(description: str) -> list[str]:
+    """Field names from a snpEff ANN header description, e.g.
+    "Functional annotations: 'Allele | Annotation | Gene_Name'" ->
+    ['Allele', 'Annotation', 'GeneName'] (names cleaned to
+    alphanumeric, the reference's convention at variants.py:11270)."""
+    m = re.search(r"'(.+?)'", description)
+    if not m:
+        raise ValueError("invalid ANN header description")
+    return ["".join(ch for ch in f if ch.isalnum())
+            for f in m.group(1).split(" | ")]
+
+
+def transcripts_view_from_ann(
+    variants: DataFrame,
+    ann_header: list[str],
+    ann_field: str = "ANN",
+    id_field: str = "FeatureID",
+    info_col: str = "INFO",
+    key_cols: list[str] | None = None,
+    uniquify: bool = True,
+) -> DataFrame:
+    """Explode a packed snpEff-ANN INFO field into one typed row per
+    (variant, transcript).
+
+    Plan shape: extract -> split(',') -> explode -> split('|') ->
+    getItem per field. All native expressions in one codegen stage;
+    the explode is the only row-count change and needs no shuffle.
+    """
+    key_cols = key_cols or ["#CHROM", "POS", "REF", "ALT"]
+    ann_val = F.nullif(info_get(info_col, ann_field), F.lit(""))
+    entries = F.split(ann_val, ",")
+    if uniquify:
+        entries = F.array_distinct(entries)
+    df = variants.select(
+        *key_cols, info_col,
+        F.explode(entries).alias("__entry"),
+    )
+    parts = F.split(F.col("__entry"), r"\|")
+    cols = [
+        F.nullif(parts.getItem(i), F.lit("")).alias(name)
+        for i, name in enumerate(ann_header)
+    ]
+    out = df.select(*key_cols, info_col, *cols)
+    if id_field not in ann_header:
+        raise ValueError(f"{id_field!r} not in ANN header {ann_header}")
+    return out.withColumn("transcript", F.col(id_field))
+
+
+def transcripts_view_from_columns_map(
+    variants: DataFrame,
+    transcripts_column: str,
+    infos_columns: list[str],
+    info_col: str = "INFO",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode parallel ','-separated INFO lists (dbNSFP style) into
+    one row per transcript, zipped positionally (the reference's
+    multi-regexp_split_to_table SELECT, variants.py:10640-10678).
+    """
+    key_cols = key_cols or ["#CHROM", "POS", "REF", "ALT"]
+    all_fields = [transcripts_column] + [
+        c for c in infos_columns if c != transcripts_column
+    ]
+    arrays = [
+        F.split(F.nullif(info_get(info_col, f), F.lit("")), ",").alias(f"__a_{f}")
+        for f in all_fields
+    ]
+    df = variants.select(*key_cols, info_col, *arrays).where(
+        F.col(f"__a_{transcripts_column}").isNotNull()
+    )
+    zipped = F.arrays_zip(*[F.col(f"__a_{f}") for f in all_fields])
+    df = df.select(*key_cols, info_col, F.explode(zipped).alias("__z"))
+    cols = [
+        F.nullif(F.col("__z").getField(f"__a_{f}"), F.lit("")).alias(f)
+        for f in all_fields
+    ]
+    out = df.select(*key_cols, info_col, *cols)
+    return out.withColumn("transcript", F.col(transcripts_column))
+
+
+def transcripts_to_json(
+    transcripts: DataFrame,
+    fields: list[str],
+    key_cols: list[str] | None = None,
+    out_field: str = "transcripts_json",
+) -> DataFrame:
+    """Collapse a transcripts view back to one row per variant with a
+    JSON map transcript -> {field: value} (reference
+    transcript_view_to_variants, variants.py:11475-11616)."""
+    key_cols = key_cols or ["#CHROM", "POS", "REF", "ALT"]
+    entry = F.to_json(F.struct(*[F.col(f) for f in fields]))
+    per_tx = F.concat(F.lit('"'), F.col("transcript"), F.lit('":'), entry)
+    return (
+        transcripts.groupBy(*key_cols)
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.array_sort(F.collect_list(per_tx))),
+                F.lit("}"),
+            ).alias(out_field)
+        )
+    )

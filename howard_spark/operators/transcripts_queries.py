@@ -1,0 +1,107 @@
+"""Gate queries for the transcripts-view machinery.
+
+The driver tables carry no packed ANN column, so both engines first
+SYNTHESIZE the identical snpEff-style packed INFO string from orders
+columns (deterministic arithmetic), then the Spark side runs the REAL
+view machinery (transcripts_view_from_ann / best_transcript) while the
+DuckDB oracle re-derives the expected relation with its own
+split/unnest primitives — exercising extraction, explode, field
+typing, and top-1-per-key end-to-end on 15k+ rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# shared construction: per order, (o_orderkey % 3) + 1 ANN entries
+#   entry k = "TX{okey}-{k}|G{ckey%50}|{(okey*7 + k*13) % 100}"
+_ANN_ENTRY_SPARK = (
+    "concat('TX', o_orderkey, '-', k, '|G', pmod(o_custkey, 50), "
+    "'|', pmod(o_orderkey * 7 + k * 13, 100))"
+)
+
+_SYNTH_SQL = """
+        SELECT o_orderkey,
+               'ANN=' || string_agg(
+                   'TX' || o_orderkey || '-' || k || '|G' || (o_custkey % 50)
+                   || '|' || ((o_orderkey * 7 + k * 13) % 100),
+                   ',' ORDER BY k) AS info
+        FROM orders, (SELECT unnest(range(3)) AS k) ks
+        WHERE k <= o_orderkey % 3
+        GROUP BY o_orderkey
+"""
+
+_VIEW_SQL = f"""
+        SELECT o_orderkey,
+               string_split(entry, '|')[1] AS transcript,
+               string_split(entry, '|')[2] AS gene,
+               CAST(string_split(entry, '|')[3] AS BIGINT) AS score
+        FROM (
+            SELECT o_orderkey,
+                   unnest(string_split(regexp_extract(info, 'ANN=([^;]*)', 1), ',')) AS entry
+            FROM ({_SYNTH_SQL})
+        )
+"""
+
+
+def _synth_variants(spark, sf):
+    o = t(spark, sf, "orders")
+    entries = F.expr(
+        f"transform(sequence(0, pmod(o_orderkey, 3)), k -> {_ANN_ENTRY_SPARK})"
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("ANN="), F.array_join(entries, ",")).alias("INFO"),
+    )
+
+
+def _view(spark, sf):
+    from .transcripts import transcripts_view_from_ann
+
+    v = _synth_variants(spark, sf)
+    view = transcripts_view_from_ann(
+        v,
+        ann_header=["FeatureID", "GeneName", "RawScore"],
+        id_field="FeatureID",
+        key_cols=["o_orderkey"],
+    )
+    return view.select(
+        "o_orderkey",
+        "transcript",
+        F.col("GeneName").alias("gene"),
+        F.col("RawScore").cast("long").alias("score"),
+    )
+
+
+@query("q62_transcripts_view", _VIEW_SQL)
+def q62(spark, sf):
+    """snpEff-ANN packed string -> typed transcript rows (reference
+    annotation_format_to_table, variants.py:11202-11430): one explode,
+    field typing, transcript id projection."""
+    return _view(spark, sf)
+
+
+@query(
+    "q63_best_transcript",
+    f"""
+    SELECT o_orderkey, transcript, gene, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY score DESC, transcript ASC
+        ) AS rn
+        FROM ({_VIEW_SQL})
+    )
+    WHERE rn = 1
+    """,
+)
+def q63(spark, sf):
+    """Transcripts view -> top-1 per key (reference
+    transcripts_prioritization, variants.py:10195-10447, composing the
+    view with the J6/W1 window)."""
+    from .variants import best_transcript
+
+    return best_transcript(
+        _view(spark, sf), order_cols=["score"], key_cols=["o_orderkey"]
+    ).select("o_orderkey", "transcript", "gene", "score")

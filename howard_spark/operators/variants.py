@@ -171,12 +171,14 @@ def best_transcript(
     transcripts: DataFrame,
     preference: DataFrame | None = None,
     order_cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """W1: best transcript per variant via row_number()=1, with the
     version-insensitive preference join (J6,
     /root/reference/howard/objects/variants.py:10447-10497)."""
     from pyspark.sql.window import Window
 
+    key_cols = key_cols or VARIANT_KEYS
     df = transcripts
     if preference is not None:
         pref = F.broadcast(
@@ -189,7 +191,7 @@ def best_transcript(
     else:
         df = df.withColumn("__pref_rank", F.lit(10**9))
     order = [F.asc("__pref_rank")] + [F.desc(c) for c in (order_cols or [])] + [F.asc("transcript")]
-    w = Window.partitionBy(*VARIANT_KEYS).orderBy(*order)
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

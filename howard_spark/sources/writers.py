@@ -58,3 +58,81 @@ def write_table(
     if schema_sidecar:
         with open(path + ".schema.json", "w") as fh:
             json.dump(json.loads(df.schema.json()), fh)
+
+
+def reconstruct_vcf_header(df: DataFrame, meta_lines: list[str] | None = None,
+                           info_fields: list[dict] | None = None) -> list[str]:
+    """Rebuild the '##' meta block for a VCF export (reference keeps the
+    parsed pyVCF header and re-emits it, database.py:2594-2620 +
+    the .hdr sidecar protocol). Order: fileformat, provided meta,
+    INFO declarations, the '#CHROM...' column line."""
+    lines: list[str] = []
+    meta = list(meta_lines or [])
+    if not any(m.startswith("##fileformat=") for m in meta):
+        lines.append("##fileformat=VCFv4.2")
+    lines += meta
+    for f in info_fields or []:
+        fid = f.get("ID")
+        if not fid:
+            continue
+        num = f.get("Number", ".")
+        typ = f.get("Type", "String")
+        desc = f.get("Description", f.get("desc", fid))
+        lines.append(f'##INFO=<ID={fid},Number={num},Type={typ},Description="{desc}">')
+    lines.append("\t".join(df.columns))
+    return lines
+
+
+def write_vcf(
+    df: DataFrame,
+    path: str,
+    meta_lines: list[str] | None = None,
+    info_fields: list[dict] | None = None,
+    sort: bool = True,
+) -> None:
+    """VCF sink with header reconstruction (S11 full form, reference
+    database.py:2594-2620): '##' meta + '#CHROM' line + tab-separated
+    body; '.gz' path gzip-compresses. NULLs become '.'.
+
+    Scale note: the body is written DISTRIBUTED (Spark csv, one part
+    per partition, genomic-sorted via range partitioning on
+    (#CHROM, POS)); the driver then streams header + parts into the
+    single output file — concatenation is sequential IO only, no
+    parse/serialize. For folder-of-parts output at very large scale
+    use write_table(fmt='tsv') + the header as a .hdr sidecar instead.
+    """
+    import glob
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if "#CHROM" not in df.columns or "POS" not in df.columns:
+        raise ValueError("VCF export needs #CHROM and POS columns")
+
+    out = df
+    # VCF missing-value convention
+    out = out.select(*[
+        F.coalesce(F.col(c).cast("string"), F.lit(".")).alias(c) for c in out.columns
+    ])
+    if sort:
+        out = out.orderBy("#CHROM", F.col("POS").cast("long"))
+
+    header = reconstruct_vcf_header(df, meta_lines, info_fields)
+
+    tmp = tempfile.mkdtemp(prefix="vcf_export_")
+    body_dir = os.path.join(tmp, "body")
+    (out.write.mode("overwrite")
+        .option("sep", "\t").option("header", "false")
+        .option("emptyValue", ".").csv(body_dir))
+    parts = sorted(glob.glob(os.path.join(body_dir, "part-*")))
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as fh:
+        for line in header:
+            fh.write(line + "\n")
+        for p in parts:
+            with open(p) as src:
+                shutil.copyfileobj(src, fh)
+    shutil.rmtree(tmp, ignore_errors=True)
