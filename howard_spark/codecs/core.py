@@ -44,9 +44,44 @@ ZLIB_LEVEL_BULK = 2       # large blocks: ~4x the throughput at ~3/4 the ratio
 ZLIB_BULK_THRESHOLD = 4 << 20
 BLOCK_SAMPLE_THRESHOLD = 1 << 18  # trial large blocks on a sample
 
+# zstd (pyarrow's bundled C codec): measured on this corpus' content —
+# level 3: ~970 MB/s enc / ~1.7 GB/s dec at 2.8x the zlib-2 ratio;
+# level 9: ~200 MB/s enc at a further ~30% size win. Bulk blocks take
+# the throughput point, small blocks the ratio point.
+ZSTD_LEVEL = 9
+ZSTD_LEVEL_BULK = 3
+
 
 def _zlevel(n: int) -> int:
     return ZLIB_LEVEL_BULK if n >= ZLIB_BULK_THRESHOLD else ZLIB_LEVEL
+
+
+_ZSTD_CODECS: dict = {}
+
+
+def _zstd_codec(level: int) -> "pa.Codec":
+    c = _ZSTD_CODECS.get(level)
+    if c is None:
+        c = _ZSTD_CODECS[level] = pa.Codec("zstd", compression_level=level)
+    return c
+
+
+def zstd_compress(data, level: int | None = None) -> bytes:
+    """Size-prefixed zstd frame (pyarrow decompress needs the size)."""
+    if level is None:
+        level = ZSTD_LEVEL_BULK if len(data) >= ZLIB_BULK_THRESHOLD else ZSTD_LEVEL
+    import struct as _struct
+
+    comp = _zstd_codec(level).compress(data, asbytes=True)
+    return _struct.pack("<Q", len(data)) + comp
+
+
+def zstd_decompress(payload: bytes) -> bytes:
+    import struct as _struct
+
+    (n,) = _struct.unpack_from("<Q", payload, 0)
+    return _zstd_codec(ZSTD_LEVEL_BULK).decompress(
+        payload[8:], decompressed_size=n, asbytes=True)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +134,8 @@ def str_to_type(s: str) -> pa.DataType:
 #: bytes × decode-cost so a marginally-smaller general-compression block
 #: never beats a lightweight dict/RLE representation — at scale, decode
 #: throughput and selective reads dominate (SURVEY.md §7.3).
-DECODE_COST = {"plain": 1.0, "fsst": 1.15, "zlib": 1.35, "fsst_zlib": 1.45}
+DECODE_COST = {"plain": 1.0, "zstd": 1.05, "fsst": 1.15, "fsst_zstd": 1.25,
+               "zlib": 1.35, "fsst_zlib": 1.45}
 
 
 @dataclass
@@ -263,78 +299,113 @@ BLOCK_FSST_MARGIN = 0.85
 BLOCK_FSST_MIN = 32 << 10
 
 
-def encode_block_named(data: bytes, name: str) -> tuple[str, bytes]:
+def encode_block_named(data, name: str) -> tuple[str, bytes]:
     """Encode with one specific block codec (no trials) — used by the
-    adaptive per-column selector memo in the encode kernel."""
-    if not data:
+    adaptive per-column selector memo in the encode kernel.
+    ``data`` may be bytes or a uint8 ndarray view (zero-copy path)."""
+    if len(data) == 0:
         return "plain", b""
     if name == "plain":
-        return "plain", data
+        return "plain", _as_bytes(data)
     if name == "zlib":
         payload = zlib.compress(data, _zlevel(len(data)))
-        return ("zlib", payload) if len(payload) < len(data) else ("plain", data)
-    table = fsst.train(data)
-    comp = fsst.compress(data, table)
+        return ("zlib", payload) if len(payload) < len(data) else ("plain", _as_bytes(data))
+    if name == "zstd":
+        payload = zstd_compress(data)
+        return ("zstd", payload) if len(payload) < len(data) else ("plain", _as_bytes(data))
+    data_b = _as_bytes(data)
+    table = fsst.train(data_b)
+    comp = fsst.compress(data_b, table)
     if name == "fsst":
         payload = frame(table.serialize(), comp)
+    elif name == "fsst_zstd":
+        payload = frame(table.serialize(), zstd_compress(comp))
     else:
         payload = frame(table.serialize(), zlib.compress(comp, _zlevel(len(comp))))
-    if len(payload) >= len(data):
-        return "plain", data
+    if len(payload) >= len(data_b):
+        return "plain", data_b
     return name, payload
 
 
-def encode_block(data: bytes) -> tuple[str, bytes]:
-    if not data:
+def _sample_view(data, budget: int = 1 << 16, slices: int = 8) -> bytes:
+    """fsst._sample semantics over bytes OR a uint8 ndarray view —
+    identical output bytes, but only the sample is ever copied."""
+    if len(data) <= budget:
+        return _as_bytes(data)
+    step = len(data) // slices
+    piece = budget // slices
+    return b"".join(_as_bytes(data[i * step : i * step + piece]) for i in range(slices))
+
+
+def encode_block(data) -> tuple[str, bytes]:
+    """``data`` may be bytes or a uint8 ndarray view (zero-copy path)."""
+    if len(data) == 0:
         return "plain", b""
 
-    def _fsst_pair(src: bytes) -> tuple[bytes, bytes, bytes]:
-        """(table bytes, fsst payload, fsst+zlib payload) — one train,
-        one compress, shared between both fsst candidates."""
+    def _fsst_parts(src: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+        """(table bytes, fsst, fsst+zlib, fsst+zstd) — one train, one
+        compress, shared between all fsst candidates."""
         table = fsst.train(src)
         comp = fsst.compress(src, table)
         tb = table.serialize()
-        return tb, comp, zlib.compress(comp, ZLIB_LEVEL)
+        return tb, comp, zlib.compress(comp, ZLIB_LEVEL), zstd_compress(comp, ZSTD_LEVEL)
 
     if len(data) < BLOCK_FSST_MIN:
-        z = zlib.compress(data, _zlevel(len(data)))
-        return ("zlib", z) if len(z) < len(data) else ("plain", data)
+        cands = [
+            ("plain", _as_bytes(data)),
+            ("zlib", zlib.compress(data, _zlevel(len(data)))),
+            ("zstd", zstd_compress(data)),
+        ]
+        return min(cands, key=lambda t: len(t[1]))
 
     if len(data) <= BLOCK_SAMPLE_THRESHOLD:
-        tb, comp, compz = _fsst_pair(data)
+        data = _as_bytes(data)
+        tb, comp, compz, compzs = _fsst_parts(data)
         cands = [
             ("plain", data),
             ("zlib", zlib.compress(data, _zlevel(len(data)))),
+            ("zstd", zstd_compress(data, ZSTD_LEVEL)),
             ("fsst", frame(tb, comp)),
             ("fsst_zlib", frame(tb, compz)),
+            ("fsst_zstd", frame(tb, compzs)),
         ]
         return min(cands, key=lambda t: len(t[1]))
 
     # Large block: shortlist on a deterministic sample, then encode once.
-    s = fsst._sample(data, budget=1 << 16)
+    # (sampling on the view copies only the ~64KB sample, not the block)
+    s = _sample_view(data, budget=1 << 16)
     table = fsst.train(s)
     comp_s = fsst.compress(s, table)
     tb = table.serialize()
     est = {
         "plain": len(s),
         "zlib": len(zlib.compress(s, ZLIB_LEVEL)),
+        "zstd": len(zstd_compress(s, ZSTD_LEVEL)),
         "fsst": len(comp_s) + len(tb),
         "fsst_zlib": len(zlib.compress(comp_s, ZLIB_LEVEL)) + len(tb),
+        "fsst_zstd": len(zstd_compress(comp_s, ZSTD_LEVEL)) + len(tb),
     }
     if len(data) > BLOCK_FSST_MARGIN_THRESHOLD:
         # throughput-aware: on huge blocks FSST must win by a clear margin
-        for k in ("fsst", "fsst_zlib"):
-            if est[k] > est["zlib"] * BLOCK_FSST_MARGIN:
+        # over the fastest entropy codec
+        floor = min(est["zlib"], est["zstd"])
+        for k in ("fsst", "fsst_zlib", "fsst_zstd"):
+            if est[k] > floor * BLOCK_FSST_MARGIN:
                 est[k] = 1 << 62
     winner = min(est, key=est.get)
-    if winner in ("fsst", "fsst_zlib"):
+    if winner in ("fsst", "fsst_zlib", "fsst_zstd"):
         # reuse the sample-trained table for the full block (FSST paper
         # trains on a sample; retraining on the full data doesn't pay)
-        comp = fsst.compress(data, table)
-        payload = frame(tb, comp) if winner == "fsst" else \
-            frame(tb, zlib.compress(comp, _zlevel(len(comp))))
-        if len(payload) >= len(data):
-            return "plain", data
+        data_b = _as_bytes(data)
+        comp = fsst.compress(data_b, table)
+        if winner == "fsst":
+            payload = frame(tb, comp)
+        elif winner == "fsst_zstd":
+            payload = frame(tb, zstd_compress(comp))
+        else:
+            payload = frame(tb, zlib.compress(comp, _zlevel(len(comp))))
+        if len(payload) >= len(data_b):
+            return "plain", data_b
         return winner, payload
     name, payload = encode_block_named(data, winner)
     return name, payload
@@ -345,11 +416,15 @@ def decode_block(name: str, payload: bytes) -> bytes:
         return payload
     if name == "zlib":
         return zlib.decompress(payload)
-    if name in ("fsst", "fsst_zlib"):
+    if name == "zstd":
+        return zstd_decompress(payload)
+    if name in ("fsst", "fsst_zlib", "fsst_zstd"):
         tbl_bytes, comp = unframe(payload)
         table = fsst.FsstTable.deserialize(tbl_bytes)
         if name == "fsst_zlib":
             comp = zlib.decompress(comp)
+        elif name == "fsst_zstd":
+            comp = zstd_decompress(comp)
         return fsst.decompress(comp, table)
     raise ValueError(f"unknown block codec {name}")
 
@@ -358,8 +433,16 @@ def decode_block(name: str, payload: bytes) -> bytes:
 # String codecs
 # ---------------------------------------------------------------------------
 
-def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
-    """(lengths int64, concatenated data bytes) — zero-copy buffer math."""
+def _as_bytes(data) -> bytes:
+    """bytes view -> bytes (copy only if needed)."""
+    return data.tobytes() if isinstance(data, np.ndarray) else data
+
+
+def _string_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths int64, concatenated data uint8 VIEW) — zero-copy buffer
+    math. The data view aliases the Arrow buffer: consumers that only
+    stream it (zlib.compress, pa.py_buffer) never copy; paths that
+    genuinely need bytes call _as_bytes at the last moment."""
     a = arr
     if pa.types.is_string(a.type):
         a = a.cast(pa.large_string())
@@ -368,9 +451,21 @@ def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     bufs = a.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[a.offset : a.offset + len(a) + 1]
     if bufs[2] is None:
-        return np.diff(offsets), b""
-    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]].tobytes()
+        return np.diff(offsets), np.empty(0, dtype=np.uint8)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
     return np.diff(offsets), data
+
+
+def _string_logical_bytes(arr: pa.Array) -> int:
+    """Sum of value lengths WITHOUT touching the data buffer."""
+    a = arr
+    if pa.types.is_string(a.type):
+        a = a.cast(pa.large_string())
+    elif pa.types.is_binary(a.type):
+        a = a.cast(pa.large_binary())
+    bufs = a.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[a.offset : a.offset + len(a) + 1]
+    return int(offsets[-1] - offsets[0])
 
 
 def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None) -> pa.Array:
@@ -423,7 +518,7 @@ def encode_strings(arr: pa.Array, _nested: bool = False, hint: dict | None = Non
             nuniq = len(d.dictionary)
 
     if nuniq == 1:
-        return Enc("sconst", data[: lens[0]] if n else b"", {"l": int(lens[0])})
+        return Enc("sconst", _as_bytes(data[: lens[0]]) if n else b"", {"l": int(lens[0])})
 
     if hint is not None and hint.get("c") == "sdict" and d is not None and nuniq < n:
         codes = np.asarray(d.indices, dtype=np.int64)
@@ -497,8 +592,7 @@ def logical_size(arr: pa.Array) -> int:
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        lens, _ = _string_parts(arr)
-        return int(lens.sum()) + 4 * len(arr)
+        return _string_logical_bytes(arr) + 4 * len(arr)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return logical_size(arr.flatten()) + 4 * len(arr)
     if pa.types.is_boolean(t):

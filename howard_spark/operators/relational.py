@@ -67,12 +67,19 @@ def q01(spark, sf):
 )
 def q02(spark, sf):
     """Equi-join + agg + deterministic top-k (J1 + O4,
-    /root/reference/howard/objects/variants.py:6350-6392,10477-10497)."""
+    /root/reference/howard/objects/variants.py:6350-6392,10477-10497).
+
+    Orders are PRE-AGGREGATED by custkey before the join (orders :
+    customer is ~10:1), so the join input shrinks ~10x and the final
+    per-name aggregation touches one row per customer — the plan that
+    survives a 100x scale-up. Same answer: c_name is unique per
+    custkey in this schema."""
     orders, cust = t(spark, sf, "orders"), t(spark, sf, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__spent"))
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .groupBy("c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .agg(F.round(F.sum("__spent"), 2).alias("total_spent"))
         .orderBy(F.desc("total_spent"), F.asc("c_name"))
         .limit(10)
     )

@@ -192,9 +192,14 @@ def test_sorted_runs_strings():
     vals = [f"block{i:03d}" for i in range(20) for _ in range(300)]
     arr = pa.array(vals)
     dec, enc = roundtrip(arr)
-    assert enc.codec == "sdict"
-    meta = json.loads(enc.meta)
-    assert meta["m"]["cd"]["c"] == "rle"  # codes are runs
+    # zstd's window makes sraw competitive with sdict on run data —
+    # the selector picks by size*decode-cost; either is a valid win,
+    # but the representation must be tiny either way
+    assert enc.codec in ("sdict", "sraw")
+    assert enc.enc_bytes < enc.raw_bytes / 50
+    if enc.codec == "sdict":
+        meta = json.loads(enc.meta)
+        assert meta["m"]["cd"]["c"] == "rle"  # codes are runs
     assert_same(arr, dec)
 
 
