@@ -83,6 +83,56 @@ def q62(spark, sf):
     return _view(spark, sf)
 
 
+# full snpEff 16-field layout synthesized per (order, k) in BOTH engines:
+#   GeneID=ENSG{ck%50}, FeatureID=TX{ok}-{k}, Rank={(ok*3+k)%7}/10,
+#   HGVS.c=c.{(ok*7+k*13)%100}A>G, HGVS.p=p.Thr{k}Met
+_FULL_ANN_ENTRY_SPARK = (
+    "concat('A|missense|MODERATE|GENE', pmod(o_custkey, 50), "
+    "'|ENSG', pmod(o_custkey, 50), '|transcript|TX', o_orderkey, '-', k, "
+    "'|coding|', pmod(o_orderkey * 3 + k, 7), '/10"
+    "|c.', pmod(o_orderkey * 7 + k * 13, 100), 'A>G"
+    "|p.Thr', k, 'Met')"
+)
+
+_EXPECTED_HGVS_SQL = """
+        SELECT o_orderkey,
+               string_agg(
+                   'ENSG' || (o_custkey % 50) || ':TX' || o_orderkey || '-' || k
+                   || ':exon' || ((o_orderkey * 3 + k) % 7)
+                   || ':c.' || ((o_orderkey * 7 + k * 13) % 100) || 'A>G'
+                   || ':p.Thr' || k || 'Met',
+                   ',' ORDER BY k) AS snpeff_hgvs
+        FROM orders, (SELECT unnest(range(3)) AS k) ks
+        WHERE k <= o_orderkey % 3
+        GROUP BY o_orderkey
+"""
+
+
+@query("q64_snpeff_hgvs", _EXPECTED_HGVS_SQL)
+def q64(spark, sf):
+    """snpeff_hgvs through the REAL calculation registry (ref
+    extract_snpeff_hgvs, commons.py:806-875): the Spark side packs full
+    16-field snpEff ANN entries into INFO, dispatches
+    apply_calculation('snpeff_hgvs'), and returns the INFO-extracted
+    result; the oracle constructs the expected gene:feature:exon:c.:p.
+    strings from the same deterministic arithmetic."""
+    from ..functions.calculations import apply_calculation
+    from ..functions.info import info_get
+
+    o = t(spark, sf, "orders")
+    entries = F.expr(
+        f"transform(sequence(0, pmod(o_orderkey, 3)), k -> {_FULL_ANN_ENTRY_SPARK})"
+    )
+    v = o.select(
+        "o_orderkey",
+        F.concat(F.lit("ANN="), F.array_join(entries, ",")).alias("INFO"),
+    )
+    out = apply_calculation(v, "snpeff_hgvs")
+    return out.select(
+        "o_orderkey", info_get("INFO", "snpeff_hgvs").alias("snpeff_hgvs")
+    )
+
+
 @query(
     "q63_best_transcript",
     f"""
