@@ -101,7 +101,10 @@ def main() -> None:
         "q12_explode_tokens", "q15_stats", "q20_time_bucket",
         "q21_token_count", "q30_exact_dedup", "q32_lsh_candidate_pairs",
         "q40_ann_bruteforce", "q43_embedding_neardup",
+        "q44_embedding_neardup_lsh",  # round 2: LSH-banded scale path
         "q50_encode_roundtrip_sha", "q51_encode_roundtrip_lineitem",
+        "q60_hgvs_names",             # round 2: HGVS kernel
+        "q62_transcripts_view",       # round 2: ANN explode view
     ]
     for name in headline:
         fn = queries[name]
