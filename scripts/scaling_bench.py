@@ -69,13 +69,35 @@ if __name__ == "__main__":
 """
 
 
+QUICK_PROBE = """
+import time, json
+import numpy as np
+a = np.zeros(50_000_000, dtype=np.uint8)
+t0 = time.time()
+for _ in range(6):
+    b = a.copy()
+print(json.dumps(round(6 * a.nbytes * 2 / (time.time() - t0) / 1e9, 2)))
+"""
+
+
+def quick_probe() -> float:
+    """Single-proc copy bandwidth right now (host-state stamp)."""
+    out = subprocess.run([sys.executable, "-c", QUICK_PROBE],
+                         capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().split("\n")[-1])
+
+
 def run_worker(cores: int, n_rows: int) -> dict:
+    pre = quick_probe()
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(n_rows)],
         capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
-    return json.loads(out.stdout.strip().split("\n")[-1])
+    r = json.loads(out.stdout.strip().split("\n")[-1])
+    r["probe_pre"] = pre
+    r["probe_post"] = quick_probe()
+    return r
 
 
 def main():
@@ -114,7 +136,8 @@ def main():
 
     rows = "\n".join(
         f"| local[{c}] | {r['wall_sec']:.2f} | {r['raw_bytes']:,} | "
-        f"{r['enc_bytes']:,} | {r['gbps']:.3f} |"
+        f"{r['enc_bytes']:,} | {r['gbps']:.3f} | "
+        f"{r.get('probe_pre', '?')} / {r.get('probe_post', '?')} |"
         for c, r in res.items()
     )
     md = f"""# BENCH — measured numbers (local sandbox)
@@ -129,8 +152,8 @@ before the timed region; timed region = range partition + sort +
 encode kernels + size aggregation; best of 2 reps, levels interleaved
 across rounds because the host's effective throughput drifts.
 
-| cores | wall (s) | raw bytes | encoded bytes | throughput (GB/s) |
-|---|---|---|---|---|
+| cores | wall (s) | raw bytes | encoded bytes | throughput (GB/s) | copy-bw pre/post (GB/s) |
+|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency local[{n}] -> local[{4*n}]** =
