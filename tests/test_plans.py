@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions: the plans we designed for 100 TB
+must stay the plans Catalyst actually picks.
+
+- scans push filters and prune columns;
+- small dimensions broadcast (no sort-merge on dims);
+- LSH candidate generation never degenerates to a cartesian product;
+- the HGVS variant x transcript interval join broadcasts the
+  transcript spans.
+
+(Complements test_encode_spark.py::test_bucketed_decode_no_shuffle.)
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .where(F.col("l_quantity") > 30)
+          .select("l_orderkey", "l_quantity"))
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity"}
+
+
+def test_q03_broadcasts_dims(spark):
+    from howard_spark.operators.relational import q03
+
+    plan = _plan(q03(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q32_no_cartesian(spark):
+    from howard_spark.operators.dedup import q32
+
+    plan = _plan(q32(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q44_band_join_is_equijoin(spark):
+    from howard_spark.operators.similarity import q44
+
+    plan = _plan(q44(spark, SF))
+    # candidate generation must be an equi-join on (band, bkey), never
+    # an all-pairs nested loop
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan)
+
+
+def test_hgvs_transcript_join_broadcasts(spark):
+    from howard_spark.functions.hgvs_fixture import demo_genome, demo_transcripts
+    from howard_spark.operators.hgvs_spark import annotate_hgvs
+
+    df = spark.createDataFrame(
+        [("chrT", 135, "A", "T")], "chrom string, pos long, ref string, alt string")
+    out = annotate_hgvs(df, demo_transcripts(), demo_genome())
+    plan = _plan(out)
+    # range predicate + tiny dim => broadcast nested-loop is the right
+    # physical join; what must NOT appear is a shuffled cartesian
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_annotate_equi_broadcast_hint(spark):
+    from howard_spark.operators.variants import annotate_equi
+
+    v = spark.createDataFrame(
+        [("chr1", 1, "A", "T", "")],
+        "`#CHROM` string, POS long, REF string, ALT string, INFO string")
+    ann = spark.createDataFrame(
+        [("chr1", 1, "A", "T", "x")],
+        "`#CHROM` string, POS long, REF string, ALT string, tag string")
+    plan = _plan(annotate_equi(v, ann, broadcast_ann=True))
+    assert "BroadcastHashJoin" in plan
