@@ -7,6 +7,9 @@
   python -m howard_spark annotation --input f.vcf --annotations db.parquet --output out.tsv
   python -m howard_spark encode     --input f.parquet --output enc_dir [--keys a,b]
   python -m howard_spark decode     --input enc_dir --schema-from f.parquet --output out.parquet
+  python -m howard_spark calculation --input f --operations VARTYPE,BARCODE --samples S1,S2 --output out
+  python -m howard_spark hgvs       --input f --refgene tx.txt --genome g.tsv --output out
+  python -m howard_spark prioritization --input f --criteria c.json --output out
 
 Ships with `spark-submit --py-files howard_spark.zip` unchanged — the
 module only ever talks to the active SparkSession.
@@ -56,6 +59,29 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--schema-from", required=True, help="file with the original schema")
     d.add_argument("--output", required=True)
     d.add_argument("--columns", default=None)
+
+    k = sub.add_parser("calculation", help="named calculations (ref calculation tool)")
+    k.add_argument("--input", required=True)
+    k.add_argument("--operations", required=True, help="comma-separated names, see --list")
+    k.add_argument("--samples", default=None, help="comma-separated sample columns")
+    k.add_argument("--output", required=True)
+
+    h = sub.add_parser("hgvs", help="HGVS annotation (ref hgvs tool)")
+    h.add_argument("--input", required=True)
+    h.add_argument("--refgene", required=True, help="refGene/genePredExt file")
+    h.add_argument("--genome", required=True,
+                   help="genome TSV: either 'chrom\tseq' rows or 'chrom\tstart\tend\tseq' windows")
+    h.add_argument("--output", required=True)
+    h.add_argument("--use-gene", action="store_true")
+    h.add_argument("--use-exon", action="store_true")
+    h.add_argument("--use-version", action="store_true")
+    h.add_argument("--add-protein", action="store_true")
+    h.add_argument("--full-format", action="store_true")
+
+    z = sub.add_parser("prioritization", help="profile-criteria scoring (ref prioritization tool)")
+    z.add_argument("--input", required=True)
+    z.add_argument("--criteria", required=True, help="JSON list of criterion dicts")
+    z.add_argument("--output", required=True)
     return p
 
 
@@ -109,6 +135,56 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         dec = decode_df(read_encoded(spark, args.input), schema, columns=cols)
         dec.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    elif args.cmd == "calculation":
+        from .functions.calculations import apply_calculation
+
+        df = read_table(spark, args.input)
+        samples = args.samples.split(",") if args.samples else []
+        for op in args.operations.split(","):
+            kw = {"samples": samples} if samples else {}
+            df = apply_calculation(df, op.strip(), **kw)
+        write_table(df, args.output)
+        print(f"wrote {args.output}")
+    elif args.cmd == "hgvs":
+        from .functions.hgvs import DictGenome, IntervalGenome, read_transcripts
+        from .operators.hgvs_spark import annotate_hgvs
+
+        with open(args.refgene) as fh:
+            transcripts = read_transcripts(fh)
+        with open(args.genome) as fh:
+            first = fh.readline()
+        if first and len(first.rstrip("\n").split("\t")) >= 4:
+            genome = IntervalGenome.from_file(args.genome)
+        else:
+            chroms = {}
+            with open(args.genome) as fh:
+                for line in fh:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        chroms[parts[0]] = parts[1]
+            genome = DictGenome(chroms)
+        df = read_table(spark, args.input)
+        cols = {c.upper(): c for c in df.columns}
+        out = annotate_hgvs(
+            df, transcripts, genome,
+            chrom_col=cols.get("#CHROM", cols.get("CHROM", "chrom")),
+            pos_col=cols.get("POS", "pos"),
+            ref_col=cols.get("REF", "ref"),
+            alt_col=cols.get("ALT", "alt"),
+            use_gene=args.use_gene, use_exon=args.use_exon,
+            use_version=args.use_version, add_protein=args.add_protein,
+            full_format=args.full_format,
+        )
+        write_table(out, args.output)
+        print(f"wrote {args.output}")
+    elif args.cmd == "prioritization":
+        from .operators.variants import Criterion, prioritize
+
+        with open(args.criteria) as fh:
+            crits = [Criterion(**c) for c in json.load(fh)]
+        df = prioritize(read_table(spark, args.input), crits)
+        write_table(df, args.output)
         print(f"wrote {args.output}")
     spark.stop()
     return 0
