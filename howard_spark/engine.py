@@ -60,6 +60,17 @@ class Engine:
         self._register()
         return self
 
+    def calculation(self, name: str, **kw) -> "Engine":
+        """Dispatch a named calculation from the registry (the
+        `howard calculation` tool; ref variants.py:8365-8531 +
+        config/calculations_config.json). See
+        functions/calculations.CALCULATIONS for the 17 operations."""
+        from .functions.calculations import apply_calculation
+
+        self.df = apply_calculation(self.df, name, **kw)
+        self._register()
+        return self
+
     def calculation_variant_class(self, out_field: str = "VARTYPE") -> "Engine":
         from pyspark.sql import functions as F
 

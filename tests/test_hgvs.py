@@ -143,6 +143,37 @@ def test_demo_names():
         assert got == exp, (key, got)
 
 
+def test_coord_roundtrip_property(real_transcripts):
+    """genomic -> cdna -> genomic is the identity for EVERY position
+    inside the transcript and the 5' flank (deterministic sweep over
+    real hg19 transcripts + the synthetic fixtures).
+
+    Positions beyond tx_end are excluded: the reference's
+    cdna_to_genomic anchors its 3'-flank fallback on the CDS end
+    (transcript.py:265-269), which is asymmetric for transcripts whose
+    3'UTR spans extra exons (e.g. SGCA NM_000023 exon 10) — a pyhgvs
+    quirk reproduced faithfully (our goldens for beyond-end positions
+    on ACADM/BRCA1 match the reference exactly)."""
+    import random
+
+    rng = random.Random(42)
+    seen = set()
+    for tm in list(real_transcripts.values()) + list(demo_transcripts().values()):
+        if tm.full_name in seen:
+            continue
+        seen.add(tm.full_name)
+        positions = (
+            list(range(tm.tx_start - 300, tm.tx_start + 5))
+            + list(range(tm.tx_end - 5, tm.tx_end + 1))
+            + [rng.randrange(tm.tx_start, tm.tx_end) + 1 for _ in range(1500)]
+        )
+        for g in positions:
+            if g > tm.tx_end:
+                continue
+            c = tm.genomic_to_cdna(g)
+            assert tm.cdna_to_genomic(c) == g, (tm.full_name, g, str(c))
+
+
 def test_exon_numbering(real_transcripts):
     # BRCA1 is minus-strand: exon 1 is the highest-coordinate exon
     brca1 = real_transcripts["NM_007294.3"]
