@@ -478,6 +478,11 @@ def _protein_extra(genome, chrom: str, offset: int, transcript: TranscriptModel,
         return None
     if cdna_start.offset != 0 or cdna_start.landmark == CDNA_STOP:
         return None
+    # a lesion reaching past the stop codon or into an intron has no
+    # simple codon arithmetic (the reference crashes here on
+    # stop-spanning MNVs — utils.py:657 list assignment; we decline)
+    if cdna_end.offset != 0 or cdna_end.landmark == CDNA_STOP:
+        return None
     is_indel = mutation_type != ">"
     is_mnv = mutation_type == "delins" and len(ref) == len(alt)
 
@@ -504,6 +509,8 @@ def _protein_extra(genome, chrom: str, offset: int, transcript: TranscriptModel,
         seq_alt = ""
     else:
         buf = list(seq_ref)
+        if mod + len(ref) > len(buf):
+            return None  # lesion extends past the fetched codon window
         for i in range(len(ref)):
             buf[mod + i] = alt[i].upper()
         seq_alt = "".join(buf)
