@@ -122,6 +122,41 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id long, kind string, height int, width int, "
+                  "pixels binary")
+
+
+def resize_images(media: DataFrame, height: int = 4, width: int = 4,
+                  fake: bool = True) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas: decode -> nearest-
+    neighbor downsample -> re-emit raw pixel bytes + dims.
+
+    The decode is the stubbed step (``decode_image``); the resize math
+    (vectorized index gather), the binary-out schema, and the batch
+    shape are real — swapping in Pillow/libjpeg touches one line.
+    """
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_px = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload), fake=fake)
+                h0, w0 = img.shape[:2]
+                ys = (np.arange(height) * h0 // height)
+                xs = (np.arange(width) * w0 // width)
+                out_px.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "pixels": out_px,
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame timestamp.
 

@@ -136,6 +136,20 @@ def test_media_feature_pipeline(spark):
     assert all(again[r["media_id"]] == list(r["feature"]) for r in rows)
 
 
+def test_resize_images(spark):
+    from howard_spark.operators.multimodal import resize_images
+
+    media = synthesize_media(spark, 20)
+    out = resize_images(media, height=4, width=4).collect()
+    assert len(out) == 20
+    assert all(r["height"] == 4 and r["width"] == 4 for r in out)
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in out)  # HxWx3 uint8
+    # determinism
+    again = {r["media_id"]: bytes(r["pixels"])
+             for r in resize_images(media, height=4, width=4).collect()}
+    assert all(again[r["media_id"]] == bytes(r["pixels"]) for r in out)
+
+
 def test_frame_sampling_plan(spark):
     media = synthesize_media(spark, 30)
     frames = frame_sample(media, every_ms=1000)
