@@ -227,6 +227,69 @@ def q43(spark, sf):
     )
 
 
+N_CENTROIDS = 8
+
+
+@query(
+    "q45_ann_ivf",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine_sql('e.embedding', 'c.ce')} DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e, cent c
+    ),
+    buckets AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT cid AS qcid, embedding AS qe FROM buckets WHERE vec_id = 0)
+    SELECT b.vec_id AS vec_id,
+           round({_cosine_sql('b.embedding', 'q.qe')}, 6) AS cos_sim
+    FROM buckets b, q
+    WHERE b.vec_id <> 0 AND b.cid = q.qcid
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q45(spark, sf):
+    """IVF-style ANN: a coarse quantizer of N_CENTROIDS data vectors
+    (vec_id 1..N — a deterministic stand-in for k-means centroids),
+    every vector assigned to its nearest centroid by cosine, the query
+    searched only within its centroid's inverted list.
+
+    Plan shape (the at-scale story): centroids BROADCAST (tiny dim);
+    assignment is a broadcast nested-loop + per-vector top-1 window —
+    one scan; the probe is an equi-filter on cid. With real k-means
+    the same plan holds — only the centroid table changes. Fully
+    oracle-checked (assignment re-derived in DuckDB SQL)."""
+    e = t(spark, sf, "embeddings")
+    cent = F.broadcast(
+        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    scored = e.crossJoin(cent).withColumn("__cos", _cosine("embedding", "ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cid"))
+    buckets = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    qrow = buckets.where(F.col("vec_id") == 0).first()
+    qcid, qvec = qrow["cid"], qrow["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        buckets.where((F.col("cid") == qcid) & (F.col("vec_id") != 0))
+        .withColumn("q", qlit)
+        .select("vec_id", F.round(_cosine("embedding", "q"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 # q44 gate threshold: the synthetic embeddings have no true near-dups
 # (max pairwise cosine ~0.51 at sf0.01), so a 0.9 gate would pass
 # vacuously on zero rows. 0.35 pushes a few hundred real pairs through
