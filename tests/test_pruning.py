@@ -58,3 +58,26 @@ def test_prune_no_match_empty(spark, enc_corpus):
     c, enc = enc_corpus
     pruned = prune_chunks(enc, "repo", lo="zzz", hi="zzzz")
     assert pruned.count() == 0
+
+
+def test_prune_on_statless_column_keeps_everything(spark):
+    """Columns that never get min/max stats (binary, list, all-null)
+    must SURVIVE pruning — NULL vmin/vmax means 'unknown', not 'empty'
+    (round-1 advice: the superset promise silently broke)."""
+    rows = [(i, bytes([i % 7]) * 3, [float(i), float(i + 1)], None)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, vec array<double>, always_null string")
+    enc = encode_df(df, chunk_rows=256).cache()
+    enc.count()
+
+    for col in ("payload", "vec", "always_null"):
+        kept = prune_chunks(enc, col, lo=0, hi=10)
+        dec = decode_df(kept, df.schema)
+        assert dec.count() == 2000, f"pruning on stat-less {col} dropped rows"
+
+    # and a normal stats column still actually prunes
+    kept = prune_chunks(enc, "id", lo=0, hi=100, dtype="long")
+    assert kept.select("part_id", "chunk_id").distinct().count() < \
+        enc.select("part_id", "chunk_id").distinct().count()
+    enc.unpersist()
