@@ -401,13 +401,19 @@ def normalize_vcf(chrom: str, pos: int, ref: str, alt: str, genome):
         or len({a[0] for a in alleles if a}) > 1  # VCF: indel alleles share 1st base
     )
     if needs_pad:
+        if genome is None:
+            # silently mis-padding would shift coordinates — refuse loudly
+            raise ValueError(
+                "indel normalization needs a genome (1bp re-pad); "
+                "SNV-only callers may pass genome=None"
+            )
         # 1bp left pad
-        pad = genome.get(chrom, start0 - 1, start0) if genome is not None else ""
+        pad = genome.get(chrom, start0 - 1, start0)
         if pad:
             alleles = [pad + a for a in alleles]
             start0 -= 1
         else:
-            nxt = genome.get(chrom, end0, end0 + 1) if genome is not None else ""
+            nxt = genome.get(chrom, end0, end0 + 1)
             alleles = [a + nxt for a in alleles]
             end0 += 1
 
