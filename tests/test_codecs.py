@@ -316,3 +316,33 @@ def test_size_bound_vs_parquet_lowcard():
     buf = io.BytesIO()
     pq.write_table(pa.table({"c": arr}), buf, compression="snappy")
     assert enc.enc_bytes < buf.getbuffer().nbytes
+
+
+def test_block_threshold_boundaries_roundtrip():
+    """Round-trip at every block-codec size threshold (+/- 1 byte):
+    the small/trial/sample-shortlist paths and the zstd/zlib bulk-level
+    switch must all decode bit-identically."""
+    from howard_spark.codecs.core import (
+        BLOCK_FSST_MIN, BLOCK_SAMPLE_THRESHOLD, ZLIB_BULK_THRESHOLD,
+    )
+
+    text = (b"def f(x):\n    return x + 1\n" * 4096)
+    noise = rng.bytes(1 << 20)
+    for base in (BLOCK_FSST_MIN, BLOCK_SAMPLE_THRESHOLD, ZLIB_BULK_THRESHOLD):
+        for delta in (-1, 0, 1):
+            n = base + delta
+            for src in (text, noise):
+                data = (src * (n // len(src) + 1))[:n]
+                name, payload = encode_block(data)
+                assert decode_block(name, payload) == data, (base, delta, name)
+
+
+def test_block_ndarray_view_equals_bytes():
+    """The zero-copy ndarray path must select the same codec and
+    produce the same payload as the bytes path."""
+    data = (b"import numpy as np\nx = np.arange(10)\n" * 3000)
+    view = np.frombuffer(data, dtype=np.uint8)
+    nb, pb = encode_block(data)
+    nv, pv = encode_block(view)
+    assert (nb, pb) == (nv, pv)
+    assert decode_block(nv, pv) == data
