@@ -110,22 +110,28 @@ def read_duckdb(
     partitions>1: each task SELECTs its rowid stripe over its own
     read-only connection — the scan distributes without moving the file.
     """
-    if sql is None:
-        if table is None:
-            raise ValueError("need table or sql")
-        # rowid gives a stable order so LIMIT/OFFSET stripes partition
-        # the relation exactly once across tasks
-        sql = (f'SELECT * FROM "{table}" ORDER BY rowid'
-               if partitions > 1 else f'SELECT * FROM "{table}"')
-    elif partitions > 1 and "order by" not in sql.lower():
-        raise ValueError("partitioned read of custom sql needs a stable ORDER BY")
+    if sql is not None:
+        if partitions > 1:
+            raise ValueError(
+                "partitioned reads work on tables (rowid stripes); "
+                "wrap custom sql in a view or read it driver-side"
+            )
+    elif table is None:
+        raise ValueError("need table or sql")
+    else:
+        sql = f'SELECT * FROM "{table}"'
     if partitions <= 1:
         tbl = _duckdb_arrow(path, sql)
         return spark.createDataFrame(tbl.to_pandas())
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    n = _duckdb_arrow(path, f"SELECT count(*) AS n FROM ({sql})").column("n")[0].as_py()
+    # rowid-range stripes: each task scans only its rowid predicate —
+    # no per-task ORDER BY / OFFSET re-scan; stripes partition the rowid
+    # domain exactly (gaps from deletes just make some stripes lighter)
+    n = _duckdb_arrow(
+        path, f'SELECT coalesce(max(rowid), -1) + 1 AS n FROM "{table}"'
+    ).column("n")[0].as_py()
     out_schema = from_arrow_schema(
         _duckdb_arrow(path, f"SELECT * FROM ({sql}) LIMIT 0").schema)
     step = (n + partitions - 1) // max(partitions, 1) or 1
@@ -141,7 +147,8 @@ def read_duckdb(
                 con = duckdb.connect(path, read_only=True)
                 try:
                     out = con.execute(
-                        f"SELECT * FROM ({sql}) LIMIT {hi - lo} OFFSET {lo}"
+                        f'SELECT * FROM "{table}" '
+                        f"WHERE rowid >= {lo} AND rowid < {hi}"
                     ).arrow().to_pandas()
                 finally:
                     con.close()

@@ -65,8 +65,8 @@ def test_read_duckdb_sql(spark, dbs):
     assert sorted(r["name"] for r in df.collect()) == [f"G{i}" for i in range(5)]
 
 
-def test_partitioned_custom_sql_needs_order(spark, dbs):
-    with pytest.raises(ValueError, match="ORDER BY"):
+def test_partitioned_custom_sql_rejected(spark, dbs):
+    with pytest.raises(ValueError, match="tables"):
         read_duckdb(spark, dbs["duck"], sql="SELECT * FROM genes", partitions=2)
 
 
