@@ -113,6 +113,33 @@ def transcripts_view_from_columns_map(
     return out.withColumn("transcript", F.col(transcripts_column))
 
 
+def prioritize_transcripts(
+    view: DataFrame,
+    criteria,
+    key_cols: list[str] | None = None,
+    preference: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's transcripts_prioritization
+    (variants.py:10195-10447): score every transcript row with the
+    profile criteria (PZScore/PZFlag/PZComment), then keep the best
+    transcript per variant — PZFlag first (PASS > FILTERED), then
+    PZScore, then the preference list, then transcript id.
+
+    One window pass over the scored view; no sequential UPDATEs."""
+    from .variants import best_transcript, prioritize
+
+    key_cols = key_cols or ["#CHROM", "POS", "REF", "ALT"]
+    scored = prioritize(view, criteria).withColumn(
+        "__flag_rank", F.when(F.col("PZFlag") == "PASS", 1).otherwise(0)
+    )
+    best = best_transcript(
+        scored, preference=preference,
+        order_cols=["__flag_rank", "PZScore"], key_cols=key_cols,
+        preference_first=False,  # reference default: scores rank first
+    )
+    return best.drop("__flag_rank")
+
+
 def transcripts_to_json(
     transcripts: DataFrame,
     fields: list[str],

@@ -172,10 +172,17 @@ def best_transcript(
     preference: DataFrame | None = None,
     order_cols: list[str] | None = None,
     key_cols: list[str] | None = None,
+    preference_first: bool = True,
 ) -> DataFrame:
     """W1: best transcript per variant via row_number()=1, with the
     version-insensitive preference join (J6,
-    /root/reference/howard/objects/variants.py:10447-10497)."""
+    /root/reference/howard/objects/variants.py:10447-10497).
+
+    ``preference_first`` mirrors the reference's
+    prioritization_transcripts_force switch (variants.py:10436-10438):
+    True = the preference list overrides scores; False = scores rank
+    first, preference breaks ties (the reference's default in
+    transcripts_prioritization)."""
     from pyspark.sql.window import Window
 
     key_cols = key_cols or VARIANT_KEYS
@@ -190,7 +197,9 @@ def best_transcript(
         ).withColumn("__pref_rank", F.coalesce("__pref_rank", F.lit(10**9)))
     else:
         df = df.withColumn("__pref_rank", F.lit(10**9))
-    order = [F.asc("__pref_rank")] + [F.desc(c) for c in (order_cols or [])] + [F.asc("transcript")]
+    scores = [F.desc(c) for c in (order_cols or [])]
+    pref = [F.asc("__pref_rank")]
+    order = (pref + scores if preference_first else scores + pref) + [F.asc("transcript")]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

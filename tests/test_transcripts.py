@@ -91,3 +91,38 @@ def test_transcripts_to_json(spark):
     parsed = json.loads(out[0]["transcripts_json"])
     assert parsed == {"ENST01": {"genename": "G1"},
                       "ENST02": {"genename": "G2"}}
+
+
+def test_prioritize_transcripts(spark):
+    from howard_spark.operators.transcripts import prioritize_transcripts
+    from howard_spark.operators.variants import Criterion
+
+    rows = [
+        ("chr1", 100, "A", "T",
+         "Ensembl_transcriptid=ENST01,ENST02,ENST03;score=0.1,0.9,0.9"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    view = transcripts_view_from_columns_map(
+        df, "Ensembl_transcriptid", ["score"])
+    crits = [Criterion(field="score", op="gt", value=0.5, score=10)]
+    best = prioritize_transcripts(view, crits).collect()
+    assert len(best) == 1
+    # ENST02 and ENST03 tie on PZScore=10; transcript asc breaks the tie
+    assert best[0]["transcript"] == "ENST02"
+    assert best[0]["PZScore"] == 10
+
+    # default: scores rank first, preference only breaks ties
+    pref3 = spark.createDataFrame([("ENST03", 1)], "transcript string, rank long")
+    best2 = prioritize_transcripts(view, crits, preference=pref3).collect()
+    assert best2[0]["transcript"] == "ENST03"  # tie at 10 -> pref decides
+
+    # a preference for the LOW-scoring transcript cannot beat the score
+    pref1 = spark.createDataFrame([("ENST01", 1)], "transcript string, rank long")
+    best3 = prioritize_transcripts(view, crits, preference=pref1).collect()
+    assert best3[0]["transcript"] == "ENST02"  # score outranks preference
+
+    # ...unless forced (the reference's prioritization_transcripts_force)
+    from howard_spark.operators.variants import best_transcript, prioritize
+    forced = best_transcript(prioritize(view, crits), preference=pref1,
+                             order_cols=["PZScore"], preference_first=True).collect()
+    assert forced[0]["transcript"] == "ENST01"
