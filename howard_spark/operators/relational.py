@@ -481,3 +481,88 @@ def q20(spark, sf):
         .agg(F.count("*").alias("events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """AS-OF JOIN: for every left row, the latest right row with
+    ``right.ts <= left.ts`` per key (DuckDB/kdb ASOF semantics,
+    inclusive). Left rows with no prior right row get NULLs.
+
+    Spark-first shape: ONE union + ONE window pass — the right side's
+    values are carried forward with last(ignorenulls) over a
+    rows-unbounded-preceding frame ordered by (ts, side) with the right
+    side sorting first at equal timestamps (inclusive >=). Cost is a
+    single shuffle on the key — no range self-join, no per-key
+    collect; skewed keys can pre-salt on a coarse ts bucket.
+    """
+    from pyspark.sql.window import Window
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in key_cols and c != ts_col
+    ]
+    lcols = [c for c in left.columns]
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    r_tag = right.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in key_cols and c != ts_col],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).select(*[c for c in l_tag.columns if not c.startswith("__r_")],
+             *[f"__r_{c}" for c in right_cols])
+
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(ts_col), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *u.columns,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in right_cols],
+    )
+    return (
+        filled.where(F.col("__side") == 1)
+        .drop("__side", *[f"__r_{c}" for c in right_cols])
+    )
+
+
+@query(
+    "q70_asof_join",
+    """
+    SELECT l.event_id AS event_id, l.user_id AS user_id,
+           r.event_id AS purchase_event,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q70(spark, sf):
+    """AS-OF join gate: every click joined to the user's latest
+    preceding purchase — checked against DuckDB's native ASOF JOIN."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts",
+                    right_cols=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_asof").alias("purchase_event"),
+        F.col("value_asof").alias("purchase_value"),
+    )
