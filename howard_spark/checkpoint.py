@@ -121,7 +121,16 @@ def encode_to_dir(
     fail_bc = spark.sparkContext.broadcast(fail_on_parts or set())
 
     work = assign_partitions(df, keys, boundaries)
-    work = work.repartition(npartitions, "__part").sortWithinPartitions("__part", *keys)
+    # Byte-identical resume needs a deterministic TOTAL order inside each
+    # partition. (__part, keys) alone ties on duplicate keys (same
+    # (repo,path) at different commits) and Spark's sort is not stable
+    # across shuffle-fetch orders — so break ties with a full-row hash:
+    # rows hashing equal are byte-identical rows, hence interchangeable.
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    work = (
+        work.repartition(npartitions, "__part")
+        .sortWithinPartitions(F.col("__part"), *[F.col(k) for k in keys], tiebreak)
+    )
 
     data_cols = [f.name for f in df.schema.fields]
 
