@@ -83,16 +83,70 @@ def reconstruct_vcf_header(df: DataFrame, meta_lines: list[str] | None = None,
     return lines
 
 
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def _bgzf_block(data: bytes, level: int = 6) -> bytes:
+    """One BGZF block: a gzip member with the 'BC' extra subfield
+    carrying the compressed block size (SAM spec §4.1). Readable by any
+    gzip decoder; block-addressable for tabix-style indexing."""
+    import struct
+    import zlib as _zlib
+
+    co = _zlib.compressobj(level, _zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    bsize = len(comp) + 25 + 1  # header(12)+extra(6)+deflate+crc(4)+isize(4)
+    header = (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 6  # gzip magic, FLG.FEXTRA, mtime/xfl/os
+        + struct.pack("<H", 6)             # XLEN
+        + b"BC" + struct.pack("<HH", 2, bsize - 1)
+    )
+    return (header + comp
+            + struct.pack("<I", _zlib.crc32(data) & 0xFFFFFFFF)
+            + struct.pack("<I", len(data) & 0xFFFFFFFF))
+
+
+class BgzfWriter:
+    """Minimal BGZF stream writer (text mode): 64KB-block gzip members
+    + the standard EOF marker. The reference shells out to bgzip
+    (commons.py:2274); this is the same container format from scratch."""
+
+    BLOCK = 0xFF00  # uncompressed bytes per block (bgzip's default)
+
+    def __init__(self, path: str, level: int = 6):
+        self._fh = open(path, "wb")
+        self._buf = bytearray()
+        self._level = level
+
+    def write(self, text: str) -> None:
+        self._buf += text.encode()
+        while len(self._buf) >= self.BLOCK:
+            self._fh.write(_bgzf_block(bytes(self._buf[: self.BLOCK]), self._level))
+            del self._buf[: self.BLOCK]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if self._buf:
+            self._fh.write(_bgzf_block(bytes(self._buf), self._level))
+        self._fh.write(_BGZF_EOF)
+        self._fh.close()
+
+
 def write_vcf(
     df: DataFrame,
     path: str,
     meta_lines: list[str] | None = None,
     info_fields: list[dict] | None = None,
     sort: bool = True,
+    bgzf: bool = False,
 ) -> None:
     """VCF sink with header reconstruction (S11 full form, reference
     database.py:2594-2620): '##' meta + '#CHROM' line + tab-separated
-    body; '.gz' path gzip-compresses. NULLs become '.'.
+    body; '.gz' path gzip-compresses (``bgzf=True``: BGZF blocks, the
+    tabix-compatible container bgzip produces). NULLs become '.'.
 
     Scale note: the body is written DISTRIBUTED (Spark csv, one part
     per partition, genomic-sorted via range partitioning on
@@ -128,11 +182,20 @@ def write_vcf(
         .option("emptyValue", ".").csv(body_dir))
     parts = sorted(glob.glob(os.path.join(body_dir, "part-*")))
 
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "wt") as fh:
-        for line in header:
-            fh.write(line + "\n")
-        for p in parts:
-            with open(p) as src:
-                shutil.copyfileobj(src, fh)
+    if bgzf and path.endswith(".gz"):
+        with BgzfWriter(path) as fh:
+            for line in header:
+                fh.write(line + "\n")
+            for p in parts:
+                with open(p) as src:
+                    for chunk in iter(lambda s=src: s.read(1 << 16), ""):
+                        fh.write(chunk)
+    else:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "wt") as fh:
+            for line in header:
+                fh.write(line + "\n")
+            for p in parts:
+                with open(p) as src:
+                    shutil.copyfileobj(src, fh)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -64,3 +64,38 @@ def test_vcf_gz_roundtrip(spark, tmp_path):
     rows = {r["POS"]: r for r in back.collect()}
     assert rows[200]["QUAL"] is None  # '.' QUAL round-trips to NULL
     assert rows[100]["REF"] == "A"
+
+
+def test_vcf_bgzf_roundtrip(spark, tmp_path):
+    """BGZF output: gzip-readable AND structured as BGZF blocks
+    ('BC' extra subfield + standard EOF marker), the container tabix
+    indexes (reference shells out to bgzip, commons.py:2274)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "out.bgzf.vcf.gz")
+    write_vcf(df, path, meta_lines=META, info_fields=INFO_FIELDS, bgzf=True)
+
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"\x1f\x8b\x08\x04"        # gzip + FEXTRA
+    assert raw[12:14] == b"BC"                    # BGZF subfield id
+    eof = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+    assert raw.endswith(eof)                      # BGZF EOF marker
+
+    with gzip.open(path, "rt") as fh:             # plain gzip readers work
+        lines = fh.read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    back = read_vcf(spark, path)
+    assert back.count() == 3
+
+
+def test_bgzf_multi_block(tmp_path):
+    from howard_spark.sources.writers import BgzfWriter
+
+    path = str(tmp_path / "big.gz")
+    payload = "x" * 200_000  # > 3 blocks
+    with BgzfWriter(path) as fh:
+        fh.write(payload)
+    with gzip.open(path, "rt") as fh:
+        assert fh.read() == payload
+    # several gzip members present
+    assert open(path, "rb").read().count(b"\x1f\x8b\x08\x04") >= 3
