@@ -124,8 +124,11 @@ def encode_to_dir(
     # Byte-identical resume needs a deterministic TOTAL order inside each
     # partition. (__part, keys) alone ties on duplicate keys (same
     # (repo,path) at different commits) and Spark's sort is not stable
-    # across shuffle-fetch orders — so break ties with a full-row hash:
-    # rows hashing equal are byte-identical rows, hence interchangeable.
+    # across shuffle-fetch orders — so break ties with a full-row
+    # xxhash64. Identical rows hash equal (interchangeable); two
+    # DISTINCT tied rows could still collide on the 64-bit hash and
+    # order nondeterministically, so the guarantee is collision-
+    # probabilistic (~2^-64 per tied pair), not absolute.
     tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     work = (
         work.repartition(npartitions, "__part")

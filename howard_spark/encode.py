@@ -180,18 +180,34 @@ def _encode_kernel(chunk_rows: int, chunk_bytes: int = DEFAULT_CHUNK_BYTES):
 
 
 def salt(df: DataFrame, key: str, buckets: int, salt_col: str = "__salt",
-         within: list[str] | None = None) -> DataFrame:
+         within: list[str] | None = None, mode: str = "content") -> DataFrame:
     """Explicit skew salting: spread a hot key across ``buckets`` splits.
 
     Salting happens *within* the key so range locality survives —
-    append ``salt_col`` last in the partitioning keys. The salt is a
-    DETERMINISTIC pure function of row content (xxhash64 of ``key``
-    plus ``within`` tiebreaker columns, default: all other columns),
-    so partition membership is stable across runs/retries and the
-    checkpoint byte-identical-resume invariant holds.
+    append ``salt_col`` last in the partitioning keys.
+
+    ``mode="content"`` (default): salt is a DETERMINISTIC pure function
+    of row content (xxhash64 of ``key`` plus ``within`` tiebreaker
+    columns, default: all other columns) — partition membership is
+    stable across runs/retries and the checkpoint
+    byte-identical-resume invariant holds. LIMITATION: duplicate rows
+    (or a hot key whose non-key columns are low-cardinality) hash to
+    the same bucket, so content salting cannot spread duplicate-heavy
+    hot keys.
+
+    ``mode="spread"``: salt additionally mixes in the physical row
+    position (spark_partition_id + monotonically_increasing_id), so
+    byte-identical duplicate rows DO spread uniformly. The placement
+    is deterministic only for a fixed input partitioning — do NOT use
+    it where byte-identical resume matters (checkpoint.py).
     """
     tiebreak = within if within is not None else [c for c in df.columns if c != key]
-    h = F.xxhash64(F.col(key), *[F.col(c) for c in tiebreak])
+    cols = [F.col(key), *[F.col(c) for c in tiebreak]]
+    if mode == "spread":
+        cols += [F.spark_partition_id(), F.monotonically_increasing_id()]
+    elif mode != "content":
+        raise ValueError(f"unknown salt mode {mode!r}")
+    h = F.xxhash64(*cols)
     return df.withColumn(salt_col, F.pmod(h, F.lit(buckets)).cast("int"))
 
 

@@ -495,24 +495,33 @@ def asof_join(
     ``right.ts <= left.ts`` per key (DuckDB/kdb ASOF semantics,
     inclusive). Left rows with no prior right row get NULLs.
 
-    Spark-first shape: ONE union + ONE window pass — the right side's
-    values are carried forward with last(ignorenulls) over a
-    rows-unbounded-preceding frame ordered by (ts, side) with the right
-    side sorting first at equal timestamps (inclusive >=). Cost is a
-    single shuffle on the key — no range self-join, no per-key
-    collect; skewed keys can pre-salt on a coarse ts bucket.
+    Spark-first shape: ONE union + ONE window pass. All right-side
+    payload columns travel as ONE atomic struct, carried forward with
+    last(ignorenulls) over a rows-unbounded-preceding frame — so a
+    genuine NULL *inside* the newest matching right row survives
+    intact instead of back-filling from an older row (the struct is
+    non-NULL whenever a right row exists; only left placeholder rows
+    contribute NULL structs). Frame order is (ts, side, tie): right
+    sorts before left at equal ts (inclusive >=), and right rows tied
+    on (key, ts) are ordered by a full-row xxhash64 so the winner is
+    deterministic across runs (up to 64-bit collisions of
+    *non-identical* rows, ~2^-64). Cost is a single shuffle on the
+    key — no range self-join, no per-key collect; skewed keys can
+    pre-salt on a coarse ts bucket.
     """
+    from pyspark.sql.types import StructType
     from pyspark.sql.window import Window
 
     right_cols = right_cols or [
         c for c in right.columns if c not in key_cols and c != ts_col
     ]
     lcols = [c for c in left.columns]
+    r_struct_type = StructType([right.schema[c] for c in right_cols])
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
+        F.lit(0).cast("bigint").alias("__tie"),
     )
     r_tag = right.select(
         *key_cols,
@@ -520,24 +529,21 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in key_cols and c != ts_col],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    ).select(*[c for c in l_tag.columns if not c.startswith("__r_")],
-             *[f"__r_{c}" for c in right_cols])
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        F.xxhash64(*[F.col(c) for c in right.columns]).alias("__tie"),
+    ).select(*l_tag.columns)
 
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.asc(ts_col), F.asc("__side"))
+        .orderBy(F.asc(ts_col), F.asc("__side"), F.asc("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        *u.columns,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
-    )
+    filled = u.withColumn("__rf", F.last("__r", ignorenulls=True).over(w))
     return (
         filled.where(F.col("__side") == 1)
-        .drop("__side", *[f"__r_{c}" for c in right_cols])
+        .select(*lcols,
+                *[F.col("__rf")[c].alias(f"{c}{suffix}") for c in right_cols])
     )
 
 

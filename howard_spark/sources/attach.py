@@ -137,6 +137,8 @@ def read_duckdb(
     step = (n + partitions - 1) // max(partitions, 1) or 1
     bounds = [(i * step, min((i + 1) * step, n)) for i in range(partitions)
               if i * step < n]
+    if not bounds:  # empty table: repartition(0) would raise
+        return spark.createDataFrame([], out_schema)
 
     def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import duckdb

@@ -83,6 +83,27 @@ def reconstruct_vcf_header(df: DataFrame, meta_lines: list[str] | None = None,
     return lines
 
 
+def genomic_chrom_key(col):
+    """Natural genomic collation key for a chromosome column: numeric
+    contigs by value, then X, Y, M/MT, then everything else
+    lexicographically — bcftools sort order, matching the reference's
+    export (/root/reference/howard/objects/database.py:2859-2885).
+    Pure Catalyst expressions (no UDF) so the sort key participates in
+    range partitioning at scale. Returns (rank, name) — order by both.
+    """
+    from pyspark.sql import functions as F
+
+    core = F.regexp_replace(F.upper(col.cast("string")), "^CHR", "")
+    rank = (
+        F.when(core.rlike("^[0-9]+$"), core.cast("long"))
+        .when(core == "X", F.lit(9_000_000_001))
+        .when(core == "Y", F.lit(9_000_000_002))
+        .when(core.isin("M", "MT"), F.lit(9_000_000_003))
+        .otherwise(F.lit(9_999_999_999))
+    )
+    return rank, core
+
+
 _BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
@@ -171,15 +192,20 @@ def write_vcf(
         F.coalesce(F.col(c).cast("string"), F.lit(".")).alias(c) for c in out.columns
     ])
     if sort:
-        out = out.orderBy("#CHROM", F.col("POS").cast("long"))
+        # genomic (bcftools) collation, not lexicographic: chr2 < chr10,
+        # X/Y/M after numerics (O2; ref database.py:2859-2885)
+        rank, core = genomic_chrom_key(F.col("#CHROM"))
+        out = out.orderBy(rank, core, F.col("POS").cast("long"))
 
     header = reconstruct_vcf_header(df, meta_lines, info_fields)
 
     tmp = tempfile.mkdtemp(prefix="vcf_export_")
     body_dir = os.path.join(tmp, "body")
+    # quote=\u0000 disables CSV quoting entirely: VCF fields are emitted
+    # verbatim (a value containing '"' must NOT be wrapped/escaped)
     (out.write.mode("overwrite")
         .option("sep", "\t").option("header", "false")
-        .option("emptyValue", ".").csv(body_dir))
+        .option("emptyValue", ".").option("quote", "\u0000").csv(body_dir))
     parts = sorted(glob.glob(os.path.join(body_dir, "part-*")))
 
     if bgzf and path.endswith(".gz"):

@@ -74,3 +74,15 @@ def test_read_sqlite(spark, dbs):
     df = read_sqlite(spark, dbs["sqlite"], table="sites")
     assert df.count() == 50
     assert df.where("significance = 'pathogenic'").count() == 25
+
+
+def test_read_duckdb_partitioned_empty_table(spark, tmp_path):
+    """partitions>1 on an empty table: must return an empty DataFrame
+    with the right schema, not raise on repartition(0)."""
+    path = str(tmp_path / "empty.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE nothing (a INTEGER, b VARCHAR)")
+    con.close()
+    df = read_duckdb(spark, path, table="nothing", partitions=4)
+    assert df.count() == 0
+    assert set(df.columns) == {"a", "b"}

@@ -44,3 +44,21 @@ def test_salt_within_subset_of_columns(spark):
     a = {(r["repo"], r["path"]): r["__salt"] for r in out.collect()}
     b = {(r["repo"], r["path"]): r["__salt"] for r in out2.collect()}
     assert a == b
+
+
+def test_salt_content_mode_cannot_spread_duplicates(spark):
+    """Documented limitation: byte-identical rows land in ONE bucket."""
+    df = spark.createDataFrame([("hot", "p", 1)] * 200,
+                               "repo string, path string, v long")
+    out = salt(df, "repo", 8).select("__salt").distinct().collect()
+    assert len(out) == 1
+
+
+def test_salt_spread_mode_spreads_duplicates(spark):
+    df = spark.createDataFrame([("hot", "p", 1)] * 800,
+                               "repo string, path string, v long")
+    dist = (salt(df.repartition(8), "repo", 8, mode="spread")
+            .groupBy("__salt").count().collect())
+    buckets = {r["__salt"]: r["count"] for r in dist}
+    assert len(buckets) >= 6            # duplicates DO spread
+    assert max(buckets.values()) < 800 * 0.4

@@ -99,3 +99,39 @@ def test_bgzf_multi_block(tmp_path):
         assert fh.read() == payload
     # several gzip members present
     assert open(path, "rb").read().count(b"\x1f\x8b\x08\x04") >= 3
+
+
+def test_vcf_genomic_chrom_collation(spark, tmp_path):
+    """O2: chr2 must sort before chr10 (natural/bcftools order), X/Y/M
+    after numerics — not lexicographic (ref database.py:2859-2885)."""
+    rows = [
+        ("chr10", 5, "a", "A", "T", 1.0, "PASS", "DP=1"),
+        ("chrX", 1, "b", "A", "T", 1.0, "PASS", "DP=1"),
+        ("chr2", 9, "c", "A", "T", 1.0, "PASS", "DP=1"),
+        ("chrM", 1, "d", "A", "T", 1.0, "PASS", "DP=1"),
+        ("chr2", 3, "e", "A", "T", 1.0, "PASS", "DP=1"),
+        ("chrY", 1, "f", "A", "T", 1.0, "PASS", "DP=1"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "collate.vcf")
+    write_vcf(df, path)
+    with open(path) as fh:
+        body = [line for line in fh.read().splitlines()
+                if line and not line.startswith("#")]
+    order = [(line.split("\t")[0], int(line.split("\t")[1])) for line in body]
+    assert order == [("chr2", 3), ("chr2", 9), ("chr10", 5),
+                     ("chrX", 1), ("chrY", 1), ("chrM", 1)]
+
+
+def test_vcf_no_csv_quoting(spark, tmp_path):
+    """A field containing a double-quote must be emitted verbatim —
+    CSV quoting would corrupt the tab-separated VCF body."""
+    rows = [("chr1", 1, "id", "A", "T", 1.0, "PASS",
+             'DESC="quoted, with comma"')]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "quotes.vcf")
+    write_vcf(df, path)
+    with open(path) as fh:
+        body = [line for line in fh.read().splitlines()
+                if line and not line.startswith("#")]
+    assert body[0].split("\t")[7] == 'DESC="quoted, with comma"'
