@@ -227,57 +227,112 @@ def q43(spark, sf):
     )
 
 
+# --- IVF coarse quantizer: real (mini) k-means, cross-engine ------------
+# Lloyd iterations are UNROLLED and centroids are rounded to 6dp after
+# every update, so Spark and the DuckDB oracle derive bit-identical
+# centroids from the same parquet (sum order differs between engines;
+# rounding absorbs the ~1e-14 relative error of a group mean — the
+# CLAUDE.md float-tie caveat applies to integer ratios, not continuous
+# embedding means). Seeds are the embeddings of vec_id 1..K (data-
+# deterministic, no RNG). Empty clusters simply drop out of the update
+# in both engines. At 100 TB you train on a driver sample and freeze —
+# here training is itself distributed (posexplode + groupBy mean), then
+# the 8x64 centroid table is collected (bounded: K*DIM doubles) and
+# re-broadcast as literals so each Lloyd step starts a fresh flat plan.
 N_CENTROIDS = 8
+KMEANS_ITERS = 2
 
 
-@query(
-    "q45_ann_ivf",
-    f"""
-    WITH cent AS (
-        SELECT vec_id AS cid, embedding AS ce FROM embeddings
-        WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
-    ),
-    assign AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_cosine_sql('e.embedding', 'c.ce')} DESC, c.cid ASC
-               ) AS rn
-        FROM embeddings e, cent c
-    ),
-    buckets AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
-    q AS (SELECT cid AS qcid, embedding AS qe FROM buckets WHERE vec_id = 0)
-    SELECT b.vec_id AS vec_id,
-           round({_cosine_sql('b.embedding', 'q.qe')}, 6) AS cos_sim
-    FROM buckets b, q
-    WHERE b.vec_id <> 0 AND b.cid = q.qcid
-    ORDER BY cos_sim DESC, vec_id ASC
-    LIMIT {TOP_K}
-    """,
-)
+def _km_assign_sql(cent: str) -> str:
+    return (
+        f"SELECT vec_id, embedding, cid FROM ("
+        f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id "
+        f"ORDER BY {_cosine_sql('e.embedding', 'c.ce')} DESC, c.cid ASC) AS rn "
+        f"FROM embeddings e, {cent} c) WHERE rn = 1"
+    )
+
+
+def _km_update_sql(assigned: str) -> str:
+    return (
+        f"SELECT cid, list(mv ORDER BY pos) AS ce FROM ("
+        f"SELECT cid, i AS pos, "
+        f"round(avg(CAST(list_extract(embedding, i + 1) AS DOUBLE)), 6) AS mv "
+        f"FROM {assigned}, range({DIM}) t(i) GROUP BY cid, i) GROUP BY cid"
+    )
+
+
+def _km_oracle_sql() -> str:
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})"
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({_km_assign_sql(f'cent{i}')})")
+        ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
+    final = f"cent{KMEANS_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"buckets AS ({_km_assign_sql(final)}),\n"
+        "q AS (SELECT cid AS qcid, embedding AS qe FROM buckets WHERE vec_id = 0)\n"
+        "SELECT b.vec_id AS vec_id, "
+        f"round({_cosine_sql('b.embedding', 'q.qe')}, 6) AS cos_sim "
+        "FROM buckets b, q WHERE b.vec_id <> 0 AND b.cid = q.qcid "
+        f"ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}"
+    )
+
+
+def _kmeans_assign(e, cent):
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "__cos", _cosine("embedding", "ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def _kmeans_update(assigned):
+    ex = assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+    m = ex.groupBy("cid", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
+    return m.groupBy("cid").agg(F.expr(
+        "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+    ).alias("ce"))
+
+
+def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
+    """Train the IVF coarse quantizer: seeded Lloyd, centroids frozen
+    to literals between iterations (collect is bounded at k*DIM)."""
+    spark = e.sparkSession
+    cent = e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"))
+    for _ in range(iters):
+        rows = _kmeans_update(_kmeans_assign(e, cent)).collect()
+        cent = spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in rows],
+            "cid bigint, ce array<double>")
+    return cent
+
+
+@query("q45_ann_ivf", _km_oracle_sql())
 def q45(spark, sf):
-    """IVF-style ANN: a coarse quantizer of N_CENTROIDS data vectors
-    (vec_id 1..N — a deterministic stand-in for k-means centroids),
+    """IVF ANN with a REAL coarse quantizer: seeded mini k-means
+    (Lloyd, KMEANS_ITERS iterations, seeds = vec_id 1..N_CENTROIDS),
     every vector assigned to its nearest centroid by cosine, the query
     searched only within its centroid's inverted list.
 
     Plan shape (the at-scale story): centroids BROADCAST (tiny dim);
     assignment is a broadcast nested-loop + per-vector top-1 window —
-    one scan; the probe is an equi-filter on cid. With real k-means
-    the same plan holds — only the centroid table changes. Fully
-    oracle-checked (assignment re-derived in DuckDB SQL)."""
+    one scan; the probe is an equi-filter on cid. Fully oracle-checked:
+    the DuckDB oracle re-runs the identical unrolled Lloyd (6dp-rounded
+    centroids make the two engines' float paths converge)."""
     e = t(spark, sf, "embeddings")
-    cent = F.broadcast(
-        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    )
-    scored = e.crossJoin(cent).withColumn("__cos", _cosine("embedding", "ce"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cid"))
-    buckets = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    cent = kmeans_centroids(e)
+    buckets = _kmeans_assign(e, cent)
     qrow = buckets.where(F.col("vec_id") == 0).first()
     qcid, qvec = qrow["cid"], qrow["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
