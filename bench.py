@@ -22,10 +22,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def copy_probe_gbps() -> float:
+    """Single-proc memory-copy bandwidth probe (same protocol as
+    scripts/scaling_bench.py): stamps every bench run with host state
+    so a contaminated recording is visible in the JSON instead of
+    poisoning cross-round comparisons (round-2 verdict: the q32
+    15.5 s recording vs 6.5 s clean re-run). Healthy >= 1.4 GB/s."""
+    import numpy as np
+
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    t0 = time.time()
+    for _ in range(6):
+        a.copy()
+    return round(6 * a.nbytes * 2 / (time.time() - t0) / 1e9, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    probe_pre = copy_probe_gbps()
+    log(f"  host probe (pre): {probe_pre} GB/s single-proc copy")
 
     from howard_spark.session import get_spark
 
@@ -99,7 +117,10 @@ def main() -> None:
     headline = [
         "q01_pricing_summary", "q02_top_customers", "q05_top_order_per_customer",
         "q12_explode_tokens", "q15_stats", "q20_time_bucket",
-        "q21_token_count", "q30_exact_dedup", "q32_lsh_candidate_pairs",
+        "q21_token_count", "q30_exact_dedup",
+        "q31_minhash_signatures",     # md5 oracle-portable minhash
+        "q32_lsh_candidate_pairs",
+        "q36_minhash_fast",           # xxhash64 engine path: the real dedup cost
         "q40_ann_bruteforce", "q43_embedding_neardup",
         "q44_embedding_neardup_lsh",  # round 2: LSH-banded scale path
         "q50_encode_roundtrip_sha", "q51_encode_roundtrip_lineitem",
@@ -110,6 +131,9 @@ def main() -> None:
         fn = queries[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
+    probe_post = copy_probe_gbps()
+    log(f"  host probe (post): {probe_post} GB/s single-proc copy")
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "howard_spark headline suite (encode+decode+operators)",
@@ -117,6 +141,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "probe_pre_gbps": probe_pre,
+        "probe_post_gbps": probe_post,
         **extras,
     }
     print(json.dumps(out), flush=True)
