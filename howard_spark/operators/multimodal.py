@@ -77,14 +77,33 @@ def synthesize_media(spark: SparkSession, n: int, npartitions: int = 8) -> DataF
     return spark.range(0, n, 1, npartitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _probe_pillow():
+    """Capability probe: auto-enable the real decoder iff Pillow is
+    importable in this environment (it is not in the sandbox image;
+    the probe makes the upgrade a zero-code-change event)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+PIL_IMAGE = _probe_pillow()
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    STUB: real decoding needs Pillow/libjpeg which are not in this
-    container. ``fake=True`` produces a deterministic 8x8x3 array
-    seeded by the payload's sha256 — stable across processes.
+    If Pillow is present (capability probe above) the REAL decode runs;
+    otherwise this is a stub: ``fake=True`` produces a deterministic
+    8x8x3 array seeded by the payload's sha256 — stable across
+    processes — and ``fake=False`` raises.
     """
     if not fake:
+        if PIL_IMAGE is not None:
+            import io
+            img = PIL_IMAGE.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
         raise NotImplementedError(
             "media decoding libraries are not available in this environment; "
             "pass fake=True for the deterministic stand-in"

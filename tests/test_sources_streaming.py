@@ -185,3 +185,28 @@ def test_encode_stream_roundtrip(spark, sf_dir, tmp_path):
         F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in events.columns]), 256).alias("h")
     ).groupBy("h").count()
     assert sig(events).exceptAll(sig(dec)).isEmpty()
+
+
+def test_decode_image_capability_probe(monkeypatch):
+    """When an Image backend appears (Pillow probe), fake=False decodes
+    through it instead of raising — zero-code-change upgrade path."""
+    import io
+
+    import numpy as np
+
+    from howard_spark.operators import multimodal as mm
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.zeros((2, 3, 3), dtype=np.uint8)
+
+    class FakeBackend:
+        @staticmethod
+        def open(buf):
+            assert isinstance(buf, io.BytesIO)
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "PIL_IMAGE", FakeBackend)
+    out = mm.decode_image(b"anything")
+    assert out.shape == (2, 3, 3) and out.dtype == np.uint8
