@@ -89,3 +89,28 @@ def test_annotate_equi_broadcast_hint(spark):
         "`#CHROM` string, POS long, REF string, ALT string, tag string")
     plan = _plan(annotate_equi(v, ann, broadcast_ann=True))
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    from howard_spark.operators.similarity import _kmeans_assign
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = e.limit(8).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"))
+    plan = _plan(_kmeans_assign(e, cent))
+    # tiny centroid side must broadcast (nested-loop is fine: k rows),
+    # never a shuffled cartesian
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_equijoins_only(spark):
+    from howard_spark.operators.dedup import _cc_large_star, _cc_small_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u long, v long")
+    for step in (_cc_large_star, _cc_small_star):
+        plan = _plan(step(edges))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
