@@ -10,6 +10,8 @@
   python -m howard_spark calculation --input f --operations VARTYPE,BARCODE --samples S1,S2 --output out
   python -m howard_spark hgvs       --input f --refgene tx.txt --genome g.tsv --output out
   python -m howard_spark prioritization --input f --criteria c.json --output out
+  python -m howard_spark from-annovar   --input anno.txt --output db.parquet
+  python -m howard_spark from-extann    --input genes.tsv --refgene rg.tsv --output db.bed
 
 Ships with `spark-submit --py-files howard_spark.zip` unchanged — the
 module only ever talks to the active SparkSession.
@@ -82,6 +84,28 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--input", required=True)
     z.add_argument("--criteria", required=True, help="JSON list of criterion dicts")
     z.add_argument("--output", required=True)
+
+    fa = sub.add_parser("from-annovar",
+                        help="ANNOVAR text table -> parquet db + .hdr (ref from_annovar tool)")
+    fa.add_argument("--input", required=True)
+    fa.add_argument("--output", required=True)
+    fa.add_argument("--database-name", default=None)
+    fa.add_argument("--multi-variant", default="auto",
+                    help="auto | enable | disable")
+    fa.add_argument("--partition-by", default=None)
+
+    fe = sub.add_parser("from-extann",
+                        help="gene-file + refgene -> BED-like db + .hdr (ref from_extann tool)")
+    fe.add_argument("--input", required=True)
+    fe.add_argument("--refgene", required=True)
+    fe.add_argument("--output", required=True)
+    fe.add_argument("--mode", default="all", choices=["all", "longest", "chosen"])
+    fe.add_argument("--transcripts", default=None,
+                    help="TSV with gene/transcript columns (mode=chosen)")
+    fe.add_argument("--extra-cols", default=None,
+                    help="comma-separated refgene columns to carry")
+    fe.add_argument("--param", default=None,
+                    help="JSON with optional 'replace' map and 'info_meta'")
     return p
 
 
@@ -186,6 +210,34 @@ def main(argv: list[str] | None = None) -> int:
         df = prioritize(read_table(spark, args.input), crits)
         write_table(df, args.output)
         print(f"wrote {args.output}")
+    elif args.cmd == "from-annovar":
+        from .sources.from_annovar import annovar_to_parquet
+
+        info = annovar_to_parquet(
+            spark, args.input, args.output,
+            database_name=args.database_name,
+            multi_variant=args.multi_variant,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+        )
+        print(f"wrote {args.output} (+.hdr, {len(info)} INFO fields)")
+    elif args.cmd == "from-extann":
+        from .sources.from_extann import extann_to_bed
+
+        param = {}
+        if args.param:
+            with open(args.param) as fh:
+                param = json.load(fh)
+        transcripts = None
+        if args.transcripts:
+            transcripts = (spark.read.option("sep", "\t")
+                           .option("header", "true").csv(args.transcripts))
+        extann_to_bed(
+            spark, args.input, args.refgene, args.output,
+            mode=args.mode, transcripts=transcripts,
+            extra_cols=args.extra_cols.split(",") if args.extra_cols else None,
+            replace=param.get("replace"), info_meta=param.get("info_meta"),
+        )
+        print(f"wrote {args.output} (+.hdr)")
     spark.stop()
     return 0
 
