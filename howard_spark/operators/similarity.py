@@ -318,6 +318,33 @@ def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
     return cent
 
 
+def _km_clusters_oracle_sql() -> str:
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})"
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({_km_assign_sql(f'cent{i}')})")
+        ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"buckets AS ({_km_assign_sql(f'cent{KMEANS_ITERS}')})\n"
+        "SELECT vec_id AS vec_id, cid AS cid FROM buckets"
+    )
+
+
+@query("q46_kmeans_clusters", _km_clusters_oracle_sql())
+def q46(spark, sf):
+    """k-means as a first-class clustering operator: every embedding's
+    trained cluster assignment (the IVF inverted-list membership,
+    exposed directly — topic bucketing / stratified sampling for
+    training-data pipelines). Same trained quantizer as q45; fully
+    oracle-checked per vector."""
+    e = t(spark, sf, "embeddings")
+    return _kmeans_assign(e, kmeans_centroids(e)).select("vec_id", "cid")
+
+
 @query("q45_ann_ivf", _km_oracle_sql())
 def q45(spark, sf):
     """IVF ANN with a REAL coarse quantizer: seeded mini k-means
