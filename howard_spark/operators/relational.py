@@ -490,33 +490,45 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """AS-OF JOIN: for every left row, the latest right row with
-    ``right.ts <= left.ts`` per key (DuckDB/kdb ASOF semantics,
-    inclusive). Left rows with no prior right row get NULLs.
+    """AS-OF JOIN with direction and tolerance (DuckDB/kdb/pandas
+    merge_asof semantics, inclusive):
 
-    Spark-first shape: ONE union + ONE window pass. All right-side
-    payload columns travel as ONE atomic struct, carried forward with
-    last(ignorenulls) over a rows-unbounded-preceding frame — so a
-    genuine NULL *inside* the newest matching right row survives
-    intact instead of back-filling from an older row (the struct is
-    non-NULL whenever a right row exists; only left placeholder rows
-    contribute NULL structs). Frame order is (ts, side, tie): right
-    sorts before left at equal ts (inclusive >=), and right rows tied
-    on (key, ts) are ordered by a full-row xxhash64 so the winner is
+    - ``backward``: latest right row with ``right.ts <= left.ts``
+    - ``forward`` : earliest right row with ``right.ts >= left.ts``
+    - ``nearest`` : whichever of the two is closer in |ts|; exact ties
+      go to the backward match (pandas convention)
+    - ``tolerance``: a match farther than this in |ts| becomes NULLs
+
+    Spark-first shape: ONE union + per-direction ONE window pass over
+    the same key partitioning (nearest = two window passes, still one
+    shuffle). All right-side payload columns (plus the matched ts)
+    travel as ONE atomic struct carried by last/first(ignorenulls), so
+    a genuine NULL *inside* the matching right row survives intact
+    instead of back-filling from another row. Right rows tied on
+    (key, ts) are ordered by a full-row xxhash64 so the winner is
     deterministic across runs (up to 64-bit collisions of
-    *non-identical* rows, ~2^-64). Cost is a single shuffle on the
-    key — no range self-join, no per-key collect; skewed keys can
-    pre-salt on a coarse ts bucket.
+    *non-identical* rows, ~2^-64). No range self-join, no per-key
+    collect; skewed keys can pre-salt on a coarse ts bucket.
     """
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in key_cols and c != ts_col
     ]
     lcols = [c for c in left.columns]
-    r_struct_type = StructType([right.schema[c] for c in right_cols])
+    r_struct_type = StructType(
+        [StructField("__ts", right.schema[ts_col].dataType)]
+        + [right.schema[c] for c in right_cols])
+    # side tags: right rows must fall INSIDE the frame at equal ts for
+    # both directions — backward frames end at the current row (right
+    # sorts first), forward frames start at it (right sorts last), so
+    # each direction gets its own side ordering below.
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("__side"),
@@ -529,21 +541,45 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in key_cols and c != ts_col],
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        F.struct(F.col(ts_col).alias("__ts"),
+                 *[F.col(c).alias(c) for c in right_cols]).alias("__r"),
         F.xxhash64(*[F.col(c) for c in right.columns]).alias("__tie"),
     ).select(*l_tag.columns)
-
     u = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.asc(ts_col), F.asc("__side"), F.asc("__tie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn("__rf", F.last("__r", ignorenulls=True).over(w))
+
+    part = Window.partitionBy(*key_cols)
+    fills = {}
+    if direction in ("backward", "nearest"):
+        wb = (part.orderBy(F.asc(ts_col), F.asc("__side"), F.asc("__tie"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        fills["__rb"] = F.last("__r", ignorenulls=True).over(wb)
+    if direction in ("forward", "nearest"):
+        wf = (part.orderBy(F.asc(ts_col), F.desc("__side"), F.asc("__tie"))
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        fills["__rf"] = F.first("__r", ignorenulls=True).over(wf)
+    filled = u.select(*u.columns, *[c.alias(n) for n, c in fills.items()])
+
+    if direction == "backward":
+        match = F.col("__rb")
+    elif direction == "forward":
+        match = F.col("__rf")
+    else:
+        db = F.abs(F.col(ts_col) - F.col("__rb")["__ts"])
+        df_ = F.abs(F.col("__rf")["__ts"] - F.col(ts_col))
+        match = (
+            F.when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(df_ < db, F.col("__rf"))
+            .otherwise(F.col("__rb"))  # ties -> backward
+        )
+    if tolerance is not None:
+        match = F.when(
+            F.abs(F.col(ts_col) - match["__ts"]) <= F.lit(tolerance), match)
     return (
         filled.where(F.col("__side") == 1)
+        .withColumn("__m", match)
         .select(*lcols,
-                *[F.col("__rf")[c].alias(f"{c}{suffix}") for c in right_cols])
+                *[F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols])
     )
 
 
@@ -571,4 +607,32 @@ def q70(spark, sf):
         "event_id", "user_id",
         F.col("event_id_asof").alias("purchase_event"),
         F.col("value_asof").alias("purchase_value"),
+    )
+
+
+@query(
+    "q71_asof_forward",
+    """
+    SELECT l.event_id AS event_id, l.user_id AS user_id,
+           r.event_id AS next_purchase,
+           r.value AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def q71(spark, sf):
+    """Forward AS-OF gate: every click joined to the user's NEXT
+    purchase (earliest right.ts >= left.ts) — checked against DuckDB's
+    native forward ASOF JOIN."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts",
+                    right_cols=["event_id", "value"], direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_asof").alias("next_purchase"),
+        F.col("value_asof").alias("next_value"),
     )

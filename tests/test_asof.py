@@ -78,3 +78,43 @@ def test_asof_multi_key_and_suffix(spark):
     out = asof_join(left, right, ["k1", "k2"], "ts",
                     right_cols=["value"], suffix="_m").collect()
     assert out[0]["value_m"] == 7.0
+
+
+def test_asof_forward(spark):
+    left = _left(spark, [(1, 100, "click")])
+    right = _right(spark, [(1, 90, "before", 1.0), (1, 150, "after", 2.0),
+                           (1, 300, "later", 3.0)])
+    out = asof_join(left, right, ["user_id"], "ts",
+                    right_cols=["event_id", "value"],
+                    direction="forward").collect()
+    assert out[0]["event_id_asof"] == "after"
+
+
+def test_asof_forward_inclusive(spark):
+    left = _left(spark, [(1, 100, "click")])
+    right = _right(spark, [(1, 100, "same", 1.0)])
+    out = asof_join(left, right, ["user_id"], "ts",
+                    right_cols=["event_id"], direction="forward").collect()
+    assert out[0]["event_id_asof"] == "same"
+
+
+def test_asof_nearest_and_tie_to_backward(spark):
+    left = _left(spark, [(1, 100, "a"), (1, 200, "b"), (1, 310, "c")])
+    right = _right(spark, [(1, 90, "r90", 1.0), (1, 205, "r205", 2.0),
+                           (1, 300, "r300", 3.0), (1, 320, "r320", 4.0)])
+    got = {r["event_id"]: r["event_id_asof"] for r in asof_join(
+        left, right, ["user_id"], "ts", right_cols=["event_id"],
+        direction="nearest").collect()}
+    assert got["a"] == "r90"     # |100-90|=10 < |205-100|
+    assert got["b"] == "r205"    # forward closer (5 < 110)
+    assert got["c"] == "r300"    # exact tie (10 vs 10) -> backward
+
+
+def test_asof_tolerance(spark):
+    left = _left(spark, [(1, 100, "near"), (1, 500, "far")])
+    right = _right(spark, [(1, 95, "r95", 1.0)])
+    got = {r["event_id"]: r for r in asof_join(
+        left, right, ["user_id"], "ts", right_cols=["event_id", "value"],
+        tolerance=10).collect()}
+    assert got["near"]["event_id_asof"] == "r95"
+    assert got["far"]["event_id_asof"] is None  # 405 > tolerance
