@@ -1,0 +1,73 @@
+"""Streaming stateful LSH near-dup: band keys bit-match the batch
+minhash pipeline, and the stream's candidate pairs equal the batch
+q32 pairs on the same documents — including pairs whose two docs
+arrive in DIFFERENT micro-batches (state crosses batches)."""
+
+from pyspark.sql import functions as F
+
+from howard_spark.operators.dedup import q31, band_pairs
+from howard_spark.streaming.neardup import (
+    band_keys_df,
+    neardup_pairs_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_band_keys_bit_match_batch_pipeline(spark):
+    """The pandas kernel must reproduce the JVM md5 minhash banding
+    byte-for-byte (same shingles, same seed prefix, same band md5)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    stream_keys = {(r["doc_id"], r["band"]): r["band_key"]
+                   for r in band_keys_df(docs).collect()}
+    # derive batch band keys exactly as band_pairs does
+    from howard_spark.operators.dedup import BAND_ROWS
+    sigs = q31(spark, SF)
+    batch = (
+        sigs.join(docs.select("doc_id"), "doc_id")
+        .withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.lpad("seed", 2, "0"),
+                        F.col("mh").cast("string")))))).alias("band_key"))
+    )
+    batch_keys = {(r["doc_id"], r["band"]): r["band_key"]
+                  for r in batch.collect()}
+    assert stream_keys == batch_keys
+
+
+def test_stream_pairs_equal_batch_across_microbatches(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in band_pairs(q31(spark, SF)).collect()}
+
+    # split the table into two micro-batch files by doc_id parity so
+    # near-dup partners land in different batches
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (neardup_pairs_stream(stream)
+         .writeStream.format("memory").queryName("nd_pairs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.sql("SELECT doc_a, doc_b FROM nd_pairs").collect()}
+    assert got == batch_pairs
+    assert len(got) > 0  # the fixture genuinely has near-dups
+
+
+def test_batch_fallback_matches_q32(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in neardup_pairs_stream(docs).select(
+               "doc_a", "doc_b").distinct().collect()}
+    want = {(r["doc_a"], r["doc_b"])
+            for r in band_pairs(q31(spark, SF)).collect()}
+    assert got == want
