@@ -162,3 +162,90 @@ def q25(spark, sf):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+SAMPLE_PER_STRATUM = 50
+SAMPLE_SEED = "s42"
+
+
+@query(
+    "q26_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)
+def q26(spark, sf):
+    """Deterministic stratified sampling: exactly N docs per stratum
+    (language), chosen by md5(seed:doc_id) order — a seeded shuffle
+    that is reproducible across engines, runs, and partitionings
+    (unlike rand(), whose draw depends on the physical partition
+    layout). The per-language quota-sampling primitive of a
+    training-data mix. Shuffles only (doc_id, lang, hash); top-N per
+    stratum is one window pass (at extreme strata sizes switch to the
+    groupBy + min_by(TopK) shape)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf, "documents")
+    order = F.md5(F.concat(F.lit(f"{SAMPLE_SEED}:"),
+                           F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order, F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang")
+    )
+
+
+PACK_CAPACITY = 4096
+
+
+@query(
+    "q27_pack_bins",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def q27(spark, sf):
+    """Sequence packing: assign documents to ~PACK_CAPACITY-token bins
+    for LLM training batches — bin = floor(preceding-cumulative-tokens
+    / capacity) over a deterministic doc order. One running-sum window;
+    at 100 TB the global ordering becomes range-partitioned doc_id
+    spans whose per-span token totals are pre-aggregated (two passes),
+    same math."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf, "documents")
+    n_tokens = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return toks.select(
+        "doc_id", "n_tokens",
+        # explicit floor on BOTH sides: DuckDB CAST(double AS BIGINT)
+        # rounds half-away while Spark cast truncates
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / PACK_CAPACITY).cast("bigint").alias("bin_id"),
+    )
