@@ -372,6 +372,78 @@ def q45(spark, sf):
     )
 
 
+# --- int8 embedding quantization (columnar-encode tier) -----------------
+# Per-vector affine quantization to 8-bit codes: 4x storage cut for the
+# embeddings column with bounded error (<= scale/2 per element). The
+# code uses explicit floor(x + 0.5) instead of round() so Spark and
+# DuckDB integerize identically (CLAUDE.md: DuckDB CAST rounds, Spark
+# truncates; round() ties also differ).
+QUANT_LEVELS = 255
+
+
+def quantize_embeddings(e, col: str = "embedding"):
+    """-> (vec_id, qmin, qscale, codes array<int>). Degenerate constant
+    vectors get scale 0 and all-zero codes."""
+    mn = F.array_min(col).cast("double")
+    mx = F.array_max(col).cast("double")
+    scale = (mx - mn) / QUANT_LEVELS
+    codes = F.expr(
+        f"transform({col}, x -> CASE WHEN qscale = 0D THEN 0 ELSE "
+        f"CAST(floor((CAST(x AS DOUBLE) - qmin) / qscale + 0.5D) AS INT) END)")
+    return (e.select("vec_id", F.col(col),
+                     mn.alias("qmin"), scale.alias("qscale"))
+            .select("vec_id", "qmin", "qscale", codes.alias("codes")))
+
+
+def dequantize_embeddings(q):
+    """Inverse: qmin + code * qscale, as array<double>."""
+    return q.select(
+        "vec_id",
+        F.expr("transform(codes, c -> qmin + CAST(c AS DOUBLE) * qscale)")
+        .alias("embedding"))
+
+
+@query(
+    "q47_quantize_embeddings",
+    f"""
+    SELECT vec_id,
+           round(qmin, 6) AS qmin_r,
+           round(qscale, 9) AS qscale_r,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+    FROM (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+               (CAST(list_max(embedding) AS DOUBLE)
+                - CAST(list_min(embedding) AS DOUBLE)) / {QUANT_LEVELS} AS qscale,
+               list_transform(embedding, x -> CASE WHEN
+                   (CAST(list_max(embedding) AS DOUBLE)
+                    - CAST(list_min(embedding) AS DOUBLE)) = 0 THEN 0 ELSE
+                   CAST(floor((CAST(x AS DOUBLE)
+                        - CAST(list_min(embedding) AS DOUBLE))
+                       / ((CAST(list_max(embedding) AS DOUBLE)
+                           - CAST(list_min(embedding) AS DOUBLE))
+                          / {QUANT_LEVELS}) + 0.5) AS INTEGER) END) AS codes
+        FROM embeddings
+    )
+    """,
+)
+def q47(spark, sf):
+    """int8 embedding quantization gate: per-vector affine params plus
+    code checksums, hash-checked against a DuckDB re-derivation (same
+    float32 inputs, same double arithmetic, explicit floor+0.5)."""
+    e = t(spark, sf, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.round("qmin", 6).alias("qmin_r"),
+        F.round("qscale", 9).alias("qscale_r"),
+        F.expr("CAST(aggregate(codes, 0L, (acc, c) -> acc + c) AS BIGINT)")
+        .alias("code_sum"),
+        F.expr("CAST(array_max(codes) AS BIGINT)").alias("code_max"),
+    )
+
+
 # q44 gate threshold: the synthetic embeddings have no true near-dups
 # (max pairwise cosine ~0.51 at sf0.01), so a 0.9 gate would pass
 # vacuously on zero rows. 0.35 pushes a few hundred real pairs through

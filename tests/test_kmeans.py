@@ -36,3 +36,50 @@ def test_kmeans_deterministic(spark):
     b = sorted((r["cid"], tuple(r["ce"]))
                for r in kmeans_centroids(e.repartition(5)).collect())
     assert a == b
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from howard_spark.operators.similarity import (
+        QUANT_LEVELS, dequantize_embeddings, quantize_embeddings,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(e)
+    back = dequantize_embeddings(q).withColumnRenamed("embedding", "deq")
+    joined = (e.select("vec_id", "embedding").join(back, "vec_id")
+              .join(q.select("vec_id", "qscale"), "vec_id"))
+    err = joined.select(
+        F.expr("aggregate(zip_with(embedding, deq, (a, b) -> "
+               "abs(CAST(a AS DOUBLE) - b)), 0D, (m, v) -> greatest(m, v))")
+        .alias("max_err"),
+        (F.col("qscale") / 2 + 1e-12).alias("bound"))
+    assert err.where(F.col("max_err") > F.col("bound")).count() == 0
+    # codes stay in the 8-bit range
+    assert q.where(F.expr(
+        f"array_max(codes) > {QUANT_LEVELS} OR array_min(codes) < 0"
+    )).count() == 0
+
+
+def test_quantized_ann_top1_survives(spark):
+    """Recall sanity: brute-force top-1 neighbor of the query is
+    unchanged after int8 quantize -> dequantize."""
+    from pyspark.sql import functions as F
+
+    from howard_spark.operators.similarity import (
+        _cosine, dequantize_embeddings, quantize_embeddings,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def top1(df):
+        qvec = df.where(F.col("vec_id") == 0).first()["embedding"]
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        return (df.where(F.col("vec_id") != 0).withColumn("q", qlit)
+                .select("vec_id", _cosine("embedding", "q").alias("c"))
+                .orderBy(F.desc("c"), F.asc("vec_id")).first()["vec_id"])
+
+    exact = top1(e.select("vec_id", "embedding"))
+    deq = dequantize_embeddings(quantize_embeddings(e))
+    assert top1(deq) == exact
