@@ -207,6 +207,47 @@ def q26(spark, sf):
 PACK_CAPACITY = 4096
 
 
+def pack_bins(toks, capacity: int = PACK_CAPACITY,
+              n_buckets: int = 64):
+    """Distributed prefix sum over doc_id order (two passes): bucket
+    the order key into contiguous doc_id ranges, cumsum WITHIN each
+    bucket in parallel (window partitioned by bucket), and add the
+    broadcast cumulative bucket offsets. A naive global
+    Window.orderBy would funnel every row through ONE task — this
+    shape keeps the window fully parallel; the driver touches only
+    n_buckets totals. Input: (doc_id, n_tokens)."""
+    from pyspark.sql.window import Window
+
+    spark = toks.sparkSession
+    hi = toks.agg(F.max("doc_id").alias("m")).first()["m"]
+    if hi is None:
+        return toks.select("doc_id", "n_tokens",
+                           F.lit(0).cast("bigint").alias("bin_id"))
+    width = max(int(hi) // n_buckets + 1, 1)
+    b = toks.withColumn("__b", (F.col("doc_id") / width).cast("int"))
+    totals = (b.groupBy("__b").agg(F.sum("n_tokens").alias("t"))
+              .orderBy("__b").collect())
+    offs, run = {}, 0
+    for r in totals:
+        offs[r["__b"]] = run
+        run += r["t"]
+    off_df = F.broadcast(spark.createDataFrame(
+        [(k, v) for k, v in offs.items()], "__b int, __off bigint"))
+    w = (Window.partitionBy("__b").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        b.join(off_df, "__b")
+        .select(
+            "doc_id", "n_tokens",
+            # explicit floor on BOTH sides: DuckDB CAST(double AS BIGINT)
+            # rounds half-away while Spark cast truncates
+            F.floor((F.col("__off") + F.sum("n_tokens").over(w)
+                     - F.col("n_tokens")) / capacity)
+            .cast("bigint").alias("bin_id"),
+        )
+    )
+
+
 @query(
     "q27_pack_bins",
     f"""
@@ -230,22 +271,12 @@ PACK_CAPACITY = 4096
 def q27(spark, sf):
     """Sequence packing: assign documents to ~PACK_CAPACITY-token bins
     for LLM training batches — bin = floor(preceding-cumulative-tokens
-    / capacity) over a deterministic doc order. One running-sum window;
-    at 100 TB the global ordering becomes range-partitioned doc_id
-    spans whose per-span token totals are pre-aggregated (two passes),
-    same math."""
-    from pyspark.sql.window import Window
-
+    / capacity) over a deterministic doc order, computed with the
+    two-pass DISTRIBUTED prefix sum (pack_bins): per-range windows run
+    in parallel; only the per-range totals visit the driver. The
+    DuckDB oracle is the straightforward single-window formulation —
+    identical math."""
     d = t(spark, sf, "documents")
     n_tokens = F.when(F.trim("text") == "", 0).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
-    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
-                                             Window.currentRow)
-    return toks.select(
-        "doc_id", "n_tokens",
-        # explicit floor on BOTH sides: DuckDB CAST(double AS BIGINT)
-        # rounds half-away while Spark cast truncates
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / PACK_CAPACITY).cast("bigint").alias("bin_id"),
-    )
+    return pack_bins(d.select("doc_id", n_tokens.alias("n_tokens")))

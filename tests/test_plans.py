@@ -114,3 +114,15 @@ def test_connected_components_equijoins_only(spark):
         plan = _plan(step(edges))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_bins_window_is_partitioned(spark):
+    from howard_spark.operators.text import pack_bins
+
+    toks = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens"))
+    plan = _plan(pack_bins(toks, capacity=64, n_buckets=8))
+    # the running sum must NOT be a global single-partition window:
+    # the window's exchange hashes on the range bucket
+    assert "hashpartitioning(__b" in plan
+    assert "SinglePartition" not in plan
