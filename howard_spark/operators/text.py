@@ -280,3 +280,90 @@ def q27(spark, sf):
     n_tokens = F.when(F.trim("text") == "", 0).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
     return pack_bins(d.select("doc_id", n_tokens.alias("n_tokens")))
+
+
+VOCAB_TOP = 50
+
+
+@query(
+    "q28_vocab_df",
+    f"""
+    SELECT term, df FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (
+            SELECT DISTINCT doc_id, tok AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents) WHERE tok <> ''
+        ) GROUP BY term
+    ) ORDER BY df DESC, term ASC LIMIT {VOCAB_TOP}
+    """,
+)
+def q28(spark, sf):
+    """Vocabulary statistics: the TOP_N terms by document frequency
+    (stopword discovery / tokenizer-vocab seeding). Pure integer
+    ordering with a term tiebreak — exact across engines. One explode
+    + distinct + count; the shuffle carries (term, doc) pairs with
+    map-side partial distinct."""
+    d = t(spark, sf, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .where(F.col("term") != "")
+            .distinct())
+    return (toks.groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(VOCAB_TOP))
+
+
+@query(
+    "q29_doc_specificity",
+    """
+    WITH toks AS (
+        SELECT doc_id, tok AS term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents) WHERE tok <> ''
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks GROUP BY term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum(tf.tf * ln((n.n_docs + 1) / (idf.df + 1))), 4)
+               AS tfidf_sum,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf JOIN idf ON tf.term = idf.term, n
+    GROUP BY tf.doc_id, n.n_docs
+    """,
+)
+def q29(spark, sf):
+    """Per-document TF-IDF mass (specificity score): sum over the
+    doc's terms of tf * ln((N+1)/(df+1)) — high for documents made of
+    rare vocabulary, low for stopword soup; a standard quality /
+    diversity signal for corpus curation. The ln inputs are exact
+    integers in both engines so the double arithmetic agrees to
+    ~1 ulp; the sum is rounded to 4dp. Shuffles: one (doc, term) tf
+    agg, one term df agg (broadcast back), one doc-level sum."""
+    d = t(spark, sf, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .where(F.col("term") != ""))
+    n_docs = toks.select("doc_id").distinct().count()
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"))
+    idf = F.broadcast(toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")))
+    return (
+        tf.join(idf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.log(
+                (F.lit(float(n_docs)) + 1) / (F.col("df") + 1))), 4)
+            .alias("tfidf_sum"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+    )
