@@ -36,11 +36,15 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = [
     "q21_token_count", "q22_quality_score", "q23_lang_id",
     "q24_fingerprint", "q25_lang_stats",
+    "q26_stratified_sample", "q27_pack_bins",
+    "q28_vocab_df", "q29_doc_specificity",
     "q30_exact_dedup", "q31_minhash_signatures", "q32_lsh_candidate_pairs",
-    "q36_minhash_fast", "q33_simhash", "q34_ngram_jaccard",
-    "q35_dedup_groups",
+    "q36_minhash_fast", "q33_simhash",
+    "q37_jaccard_estimate", "q34_ngram_jaccard",
+    "q35_dedup_groups", "q38_dedup_apply",
     "q40_ann_bruteforce", "q42_ann_lsh", "q43_embedding_neardup",
-    "q44_embedding_neardup_lsh", "q45_ann_ivf",
+    "q44_embedding_neardup_lsh", "q45_ann_ivf", "q46_kmeans_clusters",
+    "q47_quantize_embeddings",
 ]
 
 
