@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("--criteria", required=True, help="JSON list of criterion dicts")
     z.add_argument("--output", required=True)
 
+    pr = sub.add_parser("process",
+                        help="param-JSON pipeline: annotate/calculate/"
+                             "prioritize/query/export (ref process tool)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--param", required=True, help="param JSON path")
+    pr.add_argument("--output", default=None,
+                    help="overrides param['output']['path']")
+
     fa = sub.add_parser("from-annovar",
                         help="ANNOVAR text table -> parquet db + .hdr (ref from_annovar tool)")
     fa.add_argument("--input", required=True)
@@ -210,6 +218,17 @@ def main(argv: list[str] | None = None) -> int:
         df = prioritize(read_table(spark, args.input), crits)
         write_table(df, args.output)
         print(f"wrote {args.output}")
+    elif args.cmd == "process":
+        with open(args.param) as fh:
+            param = json.load(fh)
+        if args.output:
+            param.setdefault("output", {})["path"] = args.output
+        eng = Engine(spark, input_path=args.input)
+        out = eng.process(param)
+        if out is not None and not param.get("output"):
+            print(out.limit(20).toPandas().to_string(index=False))
+        if param.get("output"):
+            print(f"wrote {param['output']['path']}")
     elif args.cmd == "from-annovar":
         from .sources.from_annovar import annovar_to_parquet
 

@@ -120,6 +120,48 @@ class Engine:
         write_table(self.df, path, fmt=fmt, order_by=order_by, **kw)
         return self
 
+    def process(self, param: dict) -> DataFrame | None:
+        """The `howard process` tool: one param dict drives the whole
+        annotate -> calculate -> prioritize -> query -> export pipeline
+        (/root/reference/howard/tools/process.py:26-99; param JSON shape
+        simplified Spark-first). Recognized keys:
+
+        - ``annotations``: list of db paths, or dicts
+          {"path": ..., "fields": [...], "regions": bool}
+        - ``calculations``: list of names, or dicts
+          {"name": ..., **kwargs}
+        - ``prioritizations``: list of Criterion dicts
+        - ``query``: SQL over the `variants` view, run AFTER the steps
+        - ``output``: {"path": ..., "fmt": ..., "order_by": [...]}
+
+        Returns the query result DataFrame when ``query`` is given,
+        else None; the engine's df carries all applied steps either way.
+        """
+        for ann in param.get("annotations", []):
+            if isinstance(ann, str):
+                self.annotation(ann)
+            else:
+                self.annotation(ann["path"], fields=ann.get("fields"),
+                                regions=bool(ann.get("regions")))
+        for calc in param.get("calculations", []):
+            if isinstance(calc, str):
+                self.calculation(calc)
+            else:
+                kw = {k: v for k, v in calc.items() if k != "name"}
+                self.calculation(calc["name"], **kw)
+        crits = param.get("prioritizations", [])
+        if crits:
+            self.prioritization([Criterion(**c) for c in crits])
+        out = None
+        if param.get("query"):
+            out = self.query(param["query"])
+        sink = param.get("output")
+        if sink:
+            df = out if out is not None else self.df
+            write_table(df, sink["path"], fmt=sink.get("fmt"),
+                        order_by=sink.get("order_by"))
+        return out
+
     # -- encoded storage layer ----------------------------------------------
     def encode(self, out_dir: str, keys: list[str] | None = None, **kw) -> dict:
         """Persist through the lightweight-codec storage layer (the

@@ -123,3 +123,44 @@ def test_engine_encoded_roundtrip(spark, trio_df, tmp_path):
     got = back.query("SELECT * FROM variants ORDER BY POS").collect()
     want = trio_df.orderBy("POS").collect()
     assert got == want
+
+
+def test_engine_process_param_pipeline(spark, trio_df, tmp_path):
+    """The `process` tool surface: one param dict drives
+    annotate -> calculate -> prioritize -> query -> export
+    (ref tools/process.py)."""
+    import json
+
+    from howard_spark.functions.info import info_get
+
+    ann = spark.createDataFrame(
+        [("chr1", 100, "A", "G", "0.01"), ("chr1", 200, "C", "T", "0.30")],
+        "`#CHROM` string, POS int, REF string, ALT string, AF string")
+    ann_path = str(tmp_path / "ann.parquet")
+    ann.write.parquet(ann_path)
+    out_path = str(tmp_path / "out.tsv")
+
+    param = {
+        "annotations": [{"path": ann_path, "fields": ["AF"]}],
+        "calculations": ["VARTYPE"],
+        "prioritizations": [
+            {"field": "POS", "op": "lt", "value": 250, "score": 5},
+        ],
+        "query": "SELECT `#CHROM`, POS, INFO, PZScore FROM variants "
+                 "ORDER BY POS",
+        "output": {"path": out_path, "fmt": "tsv"},
+    }
+    eng = Engine(spark, df=trio_df)
+    out = eng.process(param)
+    rows = {r["POS"]: r for r in out.collect()}
+    assert "AF=0.01" in rows[100]["INFO"]
+    assert "VARTYPE=SNV" in rows[100]["INFO"]
+    assert rows[100]["PZScore"] == 5 and rows[400]["PZScore"] == 0
+    # exported sink exists and re-reads
+    back = spark.read.option("sep", "\t").option("header", "true").csv(out_path)
+    assert back.count() == 4
+
+    # CLI-style param JSON round-trips
+    p = tmp_path / "param.json"
+    p.write_text(json.dumps(param))
+    assert json.loads(p.read_text())["query"].startswith("SELECT")
