@@ -559,13 +559,21 @@ def asof_join(
         fills["__rf"] = F.first("__r", ignorenulls=True).over(wf)
     filled = u.select(*u.columns, *[c.alias(n) for n, c in fills.items()])
 
+    from pyspark.sql.types import DateType, TimestampType
+
+    def _num(c):
+        # timestamps compare as epoch seconds; numerics compare raw
+        if isinstance(left.schema[ts_col].dataType, (TimestampType, DateType)):
+            return c.cast("double")
+        return c
+
     if direction == "backward":
         match = F.col("__rb")
     elif direction == "forward":
         match = F.col("__rf")
     else:
-        db = F.abs(F.col(ts_col) - F.col("__rb")["__ts"])
-        df_ = F.abs(F.col("__rf")["__ts"] - F.col(ts_col))
+        db = F.abs(_num(F.col(ts_col)) - _num(F.col("__rb")["__ts"]))
+        df_ = F.abs(_num(F.col("__rf")["__ts"]) - _num(F.col(ts_col)))
         match = (
             F.when(F.col("__rb").isNull(), F.col("__rf"))
             .when(F.col("__rf").isNull(), F.col("__rb"))
@@ -574,7 +582,8 @@ def asof_join(
         )
     if tolerance is not None:
         match = F.when(
-            F.abs(F.col(ts_col) - match["__ts"]) <= F.lit(tolerance), match)
+            F.abs(_num(F.col(ts_col)) - _num(match["__ts"]))
+            <= F.lit(tolerance), match)
     return (
         filled.where(F.col("__side") == 1)
         .withColumn("__m", match)

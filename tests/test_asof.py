@@ -118,3 +118,22 @@ def test_asof_tolerance(spark):
         tolerance=10).collect()}
     assert got["near"]["event_id_asof"] == "r95"
     assert got["far"]["event_id_asof"] is None  # 405 > tolerance
+
+
+def test_asof_nearest_on_timestamp_column(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", "L")],
+        "user_id int, ts string, tag string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:01:30", 2.0)],
+        "user_id int, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, ["user_id"], "ts", right_cols=["v"],
+                    direction="nearest").collect()
+    assert out[0]["v_asof"] == 2.0  # 30s forward beats 60s backward
+    out2 = asof_join(left, right, ["user_id"], "ts", right_cols=["v"],
+                     direction="nearest", tolerance=10).collect()
+    assert out2[0]["v_asof"] is None  # both beyond 10s
