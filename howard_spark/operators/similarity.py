@@ -372,6 +372,65 @@ def q45(spark, sf):
     )
 
 
+N_PROBE = 2
+
+
+def _km_probe_oracle_sql() -> str:
+    """IVF search with nprobe>1: the query probes its N_PROBE nearest
+    centroids' inverted lists, not just the top one."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})"
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({_km_assign_sql(f'cent{i}')})")
+        ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
+    final = f"cent{KMEANS_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"buckets AS ({_km_assign_sql(final)}),\n"
+        "qprobe AS (SELECT c.cid FROM embeddings e, " + final + " c "
+        "WHERE e.vec_id = 0 "
+        f"QUALIFY row_number() OVER (ORDER BY "
+        f"{_cosine_sql('e.embedding', 'c.ce')} DESC, c.cid ASC) <= {N_PROBE}),\n"
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)\n"
+        "SELECT b.vec_id AS vec_id, "
+        f"round({_cosine_sql('b.embedding', 'q.qe')}, 6) AS cos_sim "
+        "FROM buckets b, q WHERE b.vec_id <> 0 "
+        "AND b.cid IN (SELECT cid FROM qprobe) "
+        f"ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}"
+    )
+
+
+@query("q48_ann_ivf_nprobe", _km_probe_oracle_sql())
+def q48(spark, sf):
+    """IVF multi-probe search (nprobe=N_PROBE): the query's N_PROBE
+    nearest centroids' inverted lists are scanned — the standard IVF
+    recall lever (nprobe=1 misses neighbors that quantize across the
+    boundary; see test_ivf_nprobe_recall). Plan: the probe-set is a
+    tiny IN-filter over the assignment, still an equi-ish pruned scan;
+    candidate volume grows linearly in nprobe, never quadratically."""
+    e = t(spark, sf, "embeddings")
+    cent = kmeans_centroids(e)
+    buckets = _kmeans_assign(e, cent)
+    qvec = e.where(F.col("vec_id") == 0).first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qcids = [
+        r["cid"] for r in (
+            cent.withColumn("q", qlit)
+            .select("cid", _cosine("q", "ce").alias("c"))
+            .orderBy(F.desc("c"), F.asc("cid")).limit(N_PROBE).collect())
+    ]
+    return (
+        buckets.where(F.col("cid").isin(qcids) & (F.col("vec_id") != 0))
+        .withColumn("q", qlit)
+        .select("vec_id", F.round(_cosine("embedding", "q"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 # --- int8 embedding quantization (columnar-encode tier) -----------------
 # Per-vector affine quantization to 8-bit codes: 4x storage cut for the
 # embeddings column with bounded error (<= scale/2 per element). The

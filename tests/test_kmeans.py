@@ -83,3 +83,18 @@ def test_quantized_ann_top1_survives(spark):
     exact = top1(e.select("vec_id", "embedding"))
     deq = dequantize_embeddings(quantize_embeddings(e))
     assert top1(deq) == exact
+
+
+def test_ivf_nprobe_recall(spark):
+    """nprobe=2 recall vs brute force is at least nprobe=1 recall, and
+    both paths return subsets of the true ranking."""
+    from howard_spark.operators.similarity import q40, q45, q48
+
+    sf = "/root/testdata/sf0.001"
+    exact = [r["vec_id"] for r in q40(spark, sf).collect()]
+    n1 = {r["vec_id"] for r in q45(spark, sf).collect()}
+    n2 = {r["vec_id"] for r in q48(spark, sf).collect()}
+    r1 = len(n1 & set(exact))
+    r2 = len(n2 & set(exact))
+    assert r2 >= r1  # widening the probe never loses recall
+    assert r2 > 0
