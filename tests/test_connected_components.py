@@ -36,3 +36,15 @@ def test_star_and_duplicate_edges(spark):
 def test_round_bound_raises(spark):
     with pytest.raises(RuntimeError, match="converge"):
         _cc(spark, [(i, i + 1) for i in range(64)], max_rounds=1)
+
+
+def test_durable_checkpoint_mode(spark, tmp_path):
+    import os
+
+    edges = [(i, i + 1) for i in range(80)] + [(200, 201)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    ck = str(tmp_path / "cc_ckpt")
+    got = {r["u"]: r["group_id"]
+           for r in connected_components(df, checkpoint_dir=ck).collect()}
+    assert set(got.values()) == {0, 200}
+    assert os.listdir(ck)  # durable round state actually written
