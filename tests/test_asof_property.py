@@ -81,3 +81,26 @@ def test_cc_matches_union_find(spark, edges):
     got = {r["u"]: r["group_id"]
            for r in connected_components(df).collect()}
     assert got == _uf_components(real)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(st.integers(-1000, 100_000), st.integers(0, 500)),
+    min_size=1, max_size=30, unique_by=lambda r: r[0]),
+    capacity=st.sampled_from([1, 64, 4096]),
+    n_buckets=st.sampled_from([1, 3, 64]))
+def test_pack_bins_matches_serial_prefix_sum(spark, rows, capacity,
+                                             n_buckets):
+    from howard_spark.operators.text import pack_bins
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["bin_id"]
+           for r in pack_bins(df, capacity=capacity,
+                              n_buckets=n_buckets).collect()}
+    cum = 0
+    exp = {}
+    for doc_id, n in sorted(rows):
+        exp[doc_id] = cum // capacity
+        cum += n
+    assert got == exp
