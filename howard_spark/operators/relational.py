@@ -562,8 +562,13 @@ def asof_join(
     from pyspark.sql.types import DateType, TimestampType
 
     def _num(c):
-        # timestamps compare as epoch seconds; numerics compare raw
-        if isinstance(left.schema[ts_col].dataType, (TimestampType, DateType)):
+        # timestamps compare as epoch seconds; numerics compare raw.
+        # DateType has no direct cast-to-double in Spark — go via
+        # timestamp (midnight UTC epoch seconds, consistent both sides).
+        dt = left.schema[ts_col].dataType
+        if isinstance(dt, DateType):
+            return c.cast("timestamp").cast("double")
+        if isinstance(dt, TimestampType):
             return c.cast("double")
         return c
 

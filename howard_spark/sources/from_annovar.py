@@ -234,8 +234,7 @@ def read_annovar(
             ).alias(c)
             for c in ann_cols
         ]
-        base = norm.groupBy(*VARIANT_KEYS).agg(
-            F.min("ID").alias("ID"), *aggs)
+        base = norm.groupBy(*VARIANT_KEYS).agg(*aggs)
         vals = {c: F.when(F.col(c) == "", None).otherwise(F.col(c))
                 for c in ann_cols}
     else:
@@ -248,12 +247,15 @@ def read_annovar(
         F.when(vals[c].isNotNull(), F.concat(F.lit(f"{c}="), vals[c]))
         for c in ann_cols
     ])
+    # main-column constants match the reference database format exactly
+    # (ref from_annovar.py:732-746: '' AS ID, '' AS QUAL, 'PASS' AS FILTER)
+    # so parquet dbs built here are drop-in for reference-built ones.
     out = base.select(
         "#CHROM", "POS",
-        F.coalesce(F.col("ID"), F.lit(".")).alias("ID"),
+        F.lit("").alias("ID"),
         "REF", "ALT",
-        F.lit(None).cast("double").alias("QUAL"),
-        F.lit(".").alias("FILTER"),
+        F.lit("").alias("QUAL"),
+        F.lit("PASS").alias("FILTER"),
         F.when(info == "", None).otherwise(info).alias("INFO"),
     )
 

@@ -47,11 +47,18 @@ def _spans(refgene: DataFrame, extra_cols: list[str]) -> DataFrame:
     for c in ("name", "transcript", "#CHROM", "START", "END"):
         if c not in refgene.columns:
             raise ValueError(f"refgene is missing column {c!r}")
-    return refgene.groupBy("name", "transcript").agg(
-        F.first("#CHROM").alias("#CHROM"),
-        F.min(F.col("START").cast("long")).alias("START"),
+    # #CHROM is part of the group key: a (gene, transcript) that appears
+    # on two chromosomes (PAR genes on chrX/chrY) must yield one span per
+    # chromosome, never a min/max straddling both. Extra columns come
+    # from the position-sorted first row (min_by on (START, END)) — the
+    # reference takes the first row of the sorted group; plain first()
+    # in an unordered groupBy would be nondeterministic.
+    start = F.col("START").cast("long")
+    pos_key = F.struct(start.alias("s"), F.col("END").cast("long").alias("e"))
+    return refgene.groupBy("name", "transcript", "#CHROM").agg(
+        F.min(start).alias("START"),
         F.max(F.col("END").cast("long")).alias("END"),
-        *[F.first(c).alias(c) for c in extra_cols],
+        *[F.min_by(c, pos_key).alias(c) for c in extra_cols],
     )
 
 

@@ -69,7 +69,11 @@ def band_keys_df(docs: DataFrame, text_col: str = "text",
         for pdf in it:
             ids, bands, keys = [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
-                for b, k in enumerate(minhash_band_keys(txt or "")):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    # batch pipeline's shingle explode drops NULL-text docs;
+                    # emitting bands for '' would bucket all of them together
+                    continue
+                for b, k in enumerate(minhash_band_keys(txt)):
                     ids.append(i)
                     bands.append(b)
                     keys.append(k)
@@ -112,8 +116,11 @@ def neardup_pairs_stream(
         for pdf in pdfs:
             new_ids = sorted(int(x) for x in set(pdf["doc_id"]) - set(seen))
             out_a, out_b = [], []
-            for j, d in enumerate(new_ids):
-                for other in seen + new_ids[:j]:
+            for d in new_ids:
+                # `seen` already accumulates this batch's earlier ids via
+                # the append below — iterating it alone emits each pair
+                # exactly once (seen + new_ids[:j] double-counted them).
+                for other in seen:
                     lo, hi = (other, d) if other < d else (d, other)
                     out_a.append(lo)
                     out_b.append(hi)

@@ -137,3 +137,26 @@ def test_asof_nearest_on_timestamp_column(spark):
     out2 = asof_join(left, right, ["user_id"], "ts", right_cols=["v"],
                      direction="nearest", tolerance=10).collect()
     assert out2[0]["v_asof"] is None  # both beyond 10s
+
+
+def test_asof_date_ts_nearest_and_tolerance(spark):
+    """DateType ts with direction='nearest' + tolerance: Spark has no
+    date->double cast, so _num must route via timestamp (ADVICE r3)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 3, 10), "ev")],
+        "user_id int, ts date, event_id string")
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 3, 8), 8.0), (1, dt.date(2024, 3, 11), 11.0)],
+        "user_id int, ts date, value double")
+    out = asof_join(left, right, ["user_id"], "ts",
+                    right_cols=["value"], direction="nearest").collect()
+    assert len(out) == 1 and out[0]["value_asof"] == 11.0  # 1 day < 2 days
+
+    # tolerance is in seconds for date-typed ts (epoch-second numeric
+    # domain): half a day excludes both neighbours
+    out2 = asof_join(left, right, ["user_id"], "ts",
+                     right_cols=["value"], direction="nearest",
+                     tolerance=43200).collect()
+    assert len(out2) == 1 and out2[0]["value_asof"] is None

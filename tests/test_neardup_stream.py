@@ -63,6 +63,38 @@ def test_stream_pairs_equal_batch_across_microbatches(spark, tmp_path):
     assert len(got) > 0  # the fixture genuinely has near-dups
 
 
+def test_same_batch_pairs_emitted_exactly_once(spark, tmp_path):
+    """Multiset check: docs colliding within ONE micro-batch must emit
+    each (pair, band) row once — the old `seen + new_ids[:j]` iteration
+    double-counted same-batch predecessors (set-compare tests hid it)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)  # one batch
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (neardup_pairs_stream(stream)
+         .writeStream.format("memory").queryName("nd_once")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT doc_a, doc_b, band, band_key FROM nd_once").collect()
+    keys = [(r["doc_a"], r["doc_b"], r["band"], r["band_key"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
+
+
+def test_null_text_docs_emit_no_bands(spark):
+    """NULL-text docs must vanish from the kernel (batch explode drops
+    them); bucketing them together as '' made them all candidates."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real text body here")],
+        "doc_id long, text string")
+    got = band_keys_df(docs).collect()
+    assert {r["doc_id"] for r in got} == {3}
+
+
 def test_batch_fallback_matches_q32(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = {(r["doc_a"], r["doc_b"])
