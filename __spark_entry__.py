@@ -16,11 +16,13 @@ from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: encode sf0.001 documents with the codec engine, decode,
-    and report per-lang rows + sha-verified match counts (all must match)."""
+    """Flagship: encode sf0.01 documents with the codec engine, decode,
+    and report per-lang rows + sha-verified match counts (all must
+    match). sf0.01 (r3 verdict #4: sf0.001 was contract-compliant but
+    throughput-meaningless in the driver log)."""
     from howard_spark.encode import decode_df, encode_df
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     d = spark.read.parquet(f"{sf}/documents.parquet")
     enc = encode_df(d, chunk_rows=4096)
     dec = decode_df(enc, d.schema)

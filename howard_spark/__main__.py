@@ -10,6 +10,7 @@
   python -m howard_spark calculation --input f --operations VARTYPE,BARCODE --samples S1,S2 --output out
   python -m howard_spark hgvs       --input f --refgene tx.txt --genome g.tsv --output out
   python -m howard_spark prioritization --input f --criteria c.json --output out
+  python -m howard_spark minimalize --input f.vcf --output out.vcf --minimalize-info --minimalize-samples
   python -m howard_spark from-annovar   --input anno.txt --output db.parquet
   python -m howard_spark from-extann    --input genes.tsv --refgene rg.tsv --output db.bed
 
@@ -92,6 +93,20 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--param", required=True, help="param JSON path")
     pr.add_argument("--output", default=None,
                     help="overrides param['output']['path']")
+
+    mi = sub.add_parser("minimalize",
+                        help="blank INFO/ID/QUAL/FILTER, strip samples "
+                             "to GT, or drop samples (ref minimalize plugin)")
+    mi.add_argument("--input", required=True)
+    mi.add_argument("--output", required=True)
+    mi.add_argument("--minimalize-info", action="store_true")
+    mi.add_argument("--minimalize-id", action="store_true")
+    mi.add_argument("--minimalize-qual", action="store_true")
+    mi.add_argument("--minimalize-filter", action="store_true")
+    mi.add_argument("--minimalize-samples", action="store_true")
+    mi.add_argument("--remove-samples", action="store_true")
+    mi.add_argument("--explode-infos", default=None,
+                    help="comma-separated INFO fields to explode first")
 
     fa = sub.add_parser("from-annovar",
                         help="ANNOVAR text table -> parquet db + .hdr (ref from_annovar tool)")
@@ -229,6 +244,18 @@ def main(argv: list[str] | None = None) -> int:
             print(out.limit(20).toPandas().to_string(index=False))
         if param.get("output"):
             print(f"wrote {param['output']['path']}")
+    elif args.cmd == "minimalize":
+        eng = Engine(spark, input_path=args.input)
+        eng.minimalize(
+            info=args.minimalize_info, id=args.minimalize_id,
+            qual=args.minimalize_qual, filter=args.minimalize_filter,
+            samples=args.minimalize_samples,
+            remove_samples=args.remove_samples,
+            explode_infos_fields=(args.explode_infos.split(",")
+                                  if args.explode_infos else None),
+        )
+        eng.export(args.output)
+        print(f"wrote {args.output}")
     elif args.cmd == "from-annovar":
         from .sources.from_annovar import annovar_to_parquet
 

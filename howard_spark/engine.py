@@ -115,6 +115,54 @@ class Engine:
         }
         return {**row.asDict(), "per_chrom": per_chrom}
 
+    VCF_REQUIRED = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL",
+                    "FILTER", "INFO"]
+
+    def minimalize(self, info: bool = False, id: bool = False,
+                   qual: bool = False, filter: bool = False,
+                   samples: bool = False, remove_samples: bool = False,
+                   explode_infos_fields: list[str] | None = None) -> "Engine":
+        """The reference's `minimalize` plugin
+        (/root/reference/plugins/minimalize/__main__.py:78-116, loader
+        functions/plugins.py:1-124): blank out INFO/ID/FILTER to '.'
+        and QUAL to NULL, reduce samples to their GT field (FORMAT
+        becomes 'GT', each sample column keeps only its first
+        ':'-token), or drop sample columns entirely. Optionally explode
+        INFO fields into typed columns FIRST (so a parquet/TSV database
+        keeps the tags it is about to blank from the packed string).
+
+        Where the reference runs one UPDATE per field against its
+        DuckDB table, this is a single select — Catalyst folds all the
+        blanking into the scan projection."""
+        from pyspark.sql import functions as F
+
+        if explode_infos_fields:
+            self.explode_infos(explode_infos_fields)
+        df = self.df
+        if remove_samples:
+            keep = [c for c in df.columns
+                    if c in self.VCF_REQUIRED or c.startswith("INFO/")]
+            df = df.select(*keep)
+        elif samples:
+            sample_cols = [c for c in df.columns
+                           if c not in self.VCF_REQUIRED
+                           and not c.startswith("INFO/") and c != "FORMAT"]
+            if "FORMAT" in df.columns:
+                df = df.withColumn("FORMAT", F.lit("GT"))
+            for c in sample_cols:
+                df = df.withColumn(
+                    c, F.split(F.col(c).cast("string"), ":").getItem(0))
+        blank = {"INFO": info, "ID": id, "FILTER": filter}
+        for col, on in blank.items():
+            if on and col in df.columns:
+                df = df.withColumn(col, F.lit("."))
+        if qual and "QUAL" in df.columns:
+            df = df.withColumn(
+                "QUAL", F.lit(None).cast(df.schema["QUAL"].dataType))
+        self.df = df
+        self._register()
+        return self
+
     def export(self, path: str, fmt: str | None = None,
                order_by: list[str] | None = None, **kw) -> "Engine":
         write_table(self.df, path, fmt=fmt, order_by=order_by, **kw)

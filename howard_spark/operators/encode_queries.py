@@ -61,7 +61,7 @@ def q51(spark, sf):
     )
 
 
-@query("q52_codec_metrics")  # rows-only: engine-internal observability
+@query("q52_codec_metrics", driver=False)  # rows-only: engine-internal observability; covered by pytest codec-selection tests
 def q52(spark, sf):
     d = t(spark, sf, "documents")
     return encoded_summary(encode_df(d, chunk_rows=4096))

@@ -301,7 +301,8 @@ def q12(spark, sf):
 
 @query(
     "q13_case_cast",
-    """
+    driver=False,  # merged into q13_scalar_rowid (driver gate)
+    oracle="""
     SELECT CASE WHEN o_totalprice >= 200000 THEN 'platinum'
                 WHEN o_totalprice >= 100000 THEN 'gold'
                 ELSE 'standard' END AS tier,
@@ -330,7 +331,8 @@ def q13(spark, sf):
 
 @query(
     "q14_row_id_hash",
-    """
+    driver=False,  # merged into q13_scalar_rowid (driver gate)
+    oracle="""
     SELECT count(DISTINCT md5(l_orderkey || '|' || l_linenumber || '|' || l_partkey))
            AS n_distinct_ids
     FROM lineitem
@@ -343,6 +345,84 @@ def q14(spark, sf):
     li = t(spark, sf, "lineitem")
     rid = F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber", "l_partkey"))
     return li.agg(F.countDistinct(rid).alias("n_distinct_ids"))
+
+
+@query(
+    "q13_scalar_rowid",
+    """
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+                WHEN o_totalprice >= 100000 THEN 'gold'
+                ELSE 'standard' END AS tier,
+           count(*) AS cnt,
+           round(avg(CAST(o_custkey AS DOUBLE)), 4) AS avg_custkey,
+           CAST(count(DISTINCT md5(o_orderkey || '|' || o_custkey)) AS BIGINT)
+               AS n_distinct_ids,
+           min(md5(o_orderkey || '|' || o_custkey)) AS min_rid
+    FROM orders GROUP BY tier
+    """,
+)
+def q13_scalar_rowid(spark, sf):
+    """P5 CASE/CAST prioritization tiers + the stable hash row-id idiom
+    (q13 + q14, kept as pytest extras) fused into one gate: per-tier
+    counts, distinct-id counts AND the min md5 id (which hash-verifies
+    the actual hash bytes cross-engine, not just distinctness).
+    Ref idioms: variants.py:7676-7704 (CASE chain), :2798-2808
+    (variant_id hash)."""
+    o = t(spark, sf, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 200000, "platinum")
+        .when(F.col("o_totalprice") >= 100000, "gold")
+        .otherwise("standard")
+    )
+    rid = F.md5(F.concat_ws("|", "o_orderkey", "o_custkey"))
+    return (
+        o.select(tier.alias("tier"), "o_custkey", rid.alias("rid"))
+        .groupBy("tier")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.avg(F.col("o_custkey").cast("double")), 4).alias("avg_custkey"),
+             F.countDistinct("rid").cast("bigint").alias("n_distinct_ids"),
+             F.min("rid").alias("min_rid"))
+    )
+
+
+@query(
+    "q17_semi_anti_join",
+    """
+    SELECT 'semi:' || c_mktsegment AS k, count(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'anti:orders' AS k, count(*) AS cnt
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q17_semi_anti(spark, sf):
+    """Semi-join + anti-join in one gate (q17 + q18, kept as pytest
+    extras): per-segment counts of customers having a qualifying order,
+    unioned with the NOT-EXISTS order count
+    (ref idiom variants.py:6144-6153)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 250000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.concat(F.lit("semi:"), "c_mktsegment").alias("k"), "cnt")
+    )
+    bld = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    anti = (
+        o.join(bld, o.o_custkey == bld.c_custkey, "left_anti")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("anti:orders").alias("k"), "cnt")
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -398,7 +478,8 @@ def q16(spark, sf):
 
 @query(
     "q17_anti_join",
-    """
+    driver=False,  # merged into q17_semi_anti_join (driver gate)
+    oracle="""
     SELECT count(*) AS n_orders
     FROM orders o
     WHERE NOT EXISTS (
@@ -420,7 +501,8 @@ def q17(spark, sf):
 
 @query(
     "q18_semi_join",
-    """
+    driver=False,  # merged into q17_semi_anti_join (driver gate)
+    oracle="""
     SELECT c_mktsegment, count(*) AS cnt
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o

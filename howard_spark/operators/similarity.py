@@ -74,7 +74,8 @@ def q40(spark, sf):
 
 @query(
     "q41_dot_products_sample",
-    f"""
+    driver=False,  # subsumed by q43/q44 (same bucketed-dot building block)
+    oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_dot_sql('a.embedding', 'b.embedding')}, 4) AS dot
     FROM embeddings a JOIN embeddings b
@@ -243,13 +244,33 @@ N_CENTROIDS = 8
 KMEANS_ITERS = 2
 
 
-def _km_assign_sql(cent: str) -> str:
+KM_SAMPLE_FRACTION = 0.25  # q46's train-on-sample fraction (16ths)
+
+
+def _km_sample_digits(fraction: float) -> str:
+    """First-hex-digit prefix set selecting ~``fraction`` of vectors by
+    md5('km:'||vec_id) — the same seeded-hash sampling recipe as q26
+    (deterministic across engines, runs, and partition layouts;
+    granularity 1/16)."""
+    n = max(1, min(15, round(fraction * 16)))
+    return "0123456789abcdef"[:n]
+
+
+def _km_sample_pred_sql(fraction: float) -> str:
+    digits = ", ".join(f"'{d}'" for d in _km_sample_digits(fraction))
+    return (f"substring(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 1) "
+            f"IN ({digits})")
+
+
+def _km_assign_sql(cent: str, sample_fraction: float | None = None) -> str:
+    where = (f"WHERE {_km_sample_pred_sql(sample_fraction)} "
+             if sample_fraction else "")
     return (
         f"SELECT vec_id, embedding, cid FROM ("
         f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER ("
         f"PARTITION BY e.vec_id "
         f"ORDER BY {_cosine_sql('e.embedding', 'c.ce')} DESC, c.cid ASC) AS rn "
-        f"FROM embeddings e, {cent} c) WHERE rn = 1"
+        f"FROM (SELECT * FROM embeddings {where}) e, {cent} c) WHERE rn = 1"
     )
 
 
@@ -303,15 +324,32 @@ def _kmeans_update(assigned):
     ).alias("ce"))
 
 
-def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
+def km_sample_pred(fraction: float):
+    """Spark twin of :func:`_km_sample_pred_sql` (bit-identical md5)."""
+    digits = list(_km_sample_digits(fraction))
+    h = F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    return F.substring(h, 1, 1).isin(digits)
+
+
+def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS,
+                     sample_fraction: float | None = None):
     """Train the IVF coarse quantizer: seeded Lloyd, centroids frozen
-    to literals between iterations (collect is bounded at k*DIM)."""
+    to literals between iterations (collect is bounded at k*DIM).
+
+    ``sample_fraction`` is the 100-TB mode the docstring always
+    promised: train on a seeded deterministic ~fraction of the vectors
+    (md5-prefix sampling — reproducible across engines and partition
+    layouts, unlike rand()), freeze the centroids, then assign the FULL
+    corpus against them. Lloyd cost drops linearly in the fraction;
+    assignment (the only full-data pass) is unchanged and stays
+    oracle-checked per vector (q46)."""
     spark = e.sparkSession
+    train = e.where(km_sample_pred(sample_fraction)) if sample_fraction else e
     cent = e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"))
     for _ in range(iters):
-        rows = _kmeans_update(_kmeans_assign(e, cent)).collect()
+        rows = _kmeans_update(_kmeans_assign(train, cent)).collect()
         cent = spark.createDataFrame(
             [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in rows],
             "cid bigint, ce array<double>")
@@ -319,13 +357,16 @@ def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS):
 
 
 def _km_clusters_oracle_sql() -> str:
+    """Oracle re-derives the SAME sampled-training centroids (training
+    assigns over the md5-sampled subset; final buckets assign ALL)."""
     ctes = [
         f"cent0 AS (SELECT vec_id AS cid, "
         f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
         f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})"
     ]
     for i in range(KMEANS_ITERS):
-        ctes.append(f"a{i} AS ({_km_assign_sql(f'cent{i}')})")
+        ctes.append(
+            f"a{i} AS ({_km_assign_sql(f'cent{i}', KM_SAMPLE_FRACTION)})")
         ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
     return (
         "WITH " + ",\n".join(ctes) + ",\n"
@@ -339,10 +380,12 @@ def q46(spark, sf):
     """k-means as a first-class clustering operator: every embedding's
     trained cluster assignment (the IVF inverted-list membership,
     exposed directly — topic bucketing / stratified sampling for
-    training-data pipelines). Same trained quantizer as q45; fully
-    oracle-checked per vector."""
+    training-data pipelines). Round 4: trains on the seeded
+    deterministic 25% sample (the 100-TB mode — see kmeans_centroids)
+    and assigns the FULL corpus; every assignment oracle-checked."""
     e = t(spark, sf, "embeddings")
-    return _kmeans_assign(e, kmeans_centroids(e)).select("vec_id", "cid")
+    cent = kmeans_centroids(e, sample_fraction=KM_SAMPLE_FRACTION)
+    return _kmeans_assign(e, cent).select("vec_id", "cid")
 
 
 @query("q45_ann_ivf", _km_oracle_sql())

@@ -32,7 +32,8 @@ def _count_word_expr_spark(col, word):
 
 @query(
     "q21_token_count",
-    """
+    driver=False,  # merged into q21_text_profile (driver gate)
+    oracle=    """
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
@@ -55,7 +56,8 @@ def q21(spark, sf):
 
 @query(
     "q22_quality_score",
-    """
+    driver=False,  # merged into q21_text_profile (driver gate)
+    oracle=    """
     SELECT doc_id,
            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_cnt,
@@ -85,7 +87,8 @@ def q22(spark, sf):
 
 @query(
     "q23_lang_id",
-    """
+    driver=False,  # merged into q21_text_profile (driver gate)
+    oracle=    """
     SELECT doc_id, lang AS lang_true,
            CASE
              WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
@@ -126,7 +129,8 @@ def q23(spark, sf):
 
 @query(
     "q24_fingerprint",
-    """
+    driver=False,  # merged into q21_text_profile (driver gate)
+    oracle=    """
     SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
     FROM documents
@@ -366,4 +370,72 @@ def q29(spark, sf):
             .alias("tfidf_sum"),
             F.count("*").cast("bigint").alias("n_terms"),
         )
+    )
+
+
+@query(
+    "q21_text_profile",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_cnt,
+           CAST(length(text) - length(replace(lower(text), ' the ', '')) AS BIGINT)
+               AS stopword_signal,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           lang AS lang_true,
+           CASE
+             WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+             WHEN de_score >= fr_score THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM (
+      SELECT *,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (the|and|of) ', ' ', 'g'))) AS en_score,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (der|und|die) ', ' ', 'g'))) AS de_score,
+        (length(' ' || lower(text) || ' ')
+         - length(regexp_replace(' ' || lower(text) || ' ', ' (le|et|la) ', ' ', 'g'))) AS fr_score
+      FROM documents
+    )
+    """,
+)
+def q21_profile(spark, sf):
+    """Per-document TEXT PROFILE: token count, quality signals
+    (punctuation / digit / stopword counts, length), heuristic language
+    ID, and normalized fingerprint — the four per-doc text operators
+    (q21-q24, kept as pytest-checked extras) fused into ONE scan. At
+    100 TB this is how a curation pipeline actually runs: every per-doc
+    metric in a single pass over the text column, all native JVM
+    expressions inside one WholeStageCodegen span, zero shuffles."""
+    d = t(spark, sf, "documents")
+    n_tokens = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    stop = F.length("text") - F.length(
+        F.replace(F.lower("text"), F.lit(" the "), F.lit("")))
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def score(words):
+        pat = " (" + "|".join(words) + ") "
+        return F.length(padded) - F.length(F.regexp_replace(padded, pat, " "))
+
+    en, de, fr = score(_MARKERS["en"]), score(_MARKERS["de"]), score(_MARKERS["fr"])
+    pred = (F.when((en >= de) & (en >= fr), "en")
+            .when(de >= fr, "de").otherwise("fr"))
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        punct.cast("long").alias("punct_cnt"),
+        digits.cast("long").alias("digit_cnt"),
+        stop.cast("long").alias("stopword_signal"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.col("lang").alias("lang_true"),
+        pred.alias("lang_pred"),
+        fp.alias("fp"),
     )

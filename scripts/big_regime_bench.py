@@ -34,13 +34,14 @@ EMB_X = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 QUERIES = [
-    "q21_token_count", "q22_quality_score", "q23_lang_id",
-    "q24_fingerprint", "q25_lang_stats",
+    "q21_text_profile", "q25_lang_stats",
     "q26_stratified_sample", "q27_pack_bins",
     "q28_vocab_df", "q29_doc_specificity",
     "q30_exact_dedup", "q31_minhash_signatures", "q32_lsh_candidate_pairs",
     "q36_minhash_fast", "q33_simhash",
     "q37_jaccard_estimate", "q34_ngram_jaccard",
+    "q39_dedup_estimate_verify",  # r4: selective exact — compare vs q34's wall
+    "q49_duplicated_spans",       # r4: substring-level exact dedup
     "q35_dedup_groups", "q38_dedup_apply",
     "q40_ann_bruteforce", "q42_ann_lsh", "q43_embedding_neardup",
     "q44_embedding_neardup_lsh", "q45_ann_ivf", "q46_kmeans_clusters",
@@ -93,9 +94,11 @@ def main() -> None:
     n_emb = spark.read.parquet(f"{big}/embeddings.parquet").count()
     log(f"derived regime: {n_docs} docs, {n_emb} embeddings at {big}")
 
-    from howard_spark.operators import load_all
+    from howard_spark.operators import load_all, load_extras
 
     queries, _ = load_all()
+    extra_q, _ = load_extras()
+    queries = {**queries, **extra_q}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in QUERIES:
