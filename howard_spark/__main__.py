@@ -94,6 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--output", default=None,
                     help="overrides param['output']['path']")
 
+    pl = sub.add_parser("plugin", help="list or run user plugins "
+                                       "(ref plugin loader contract)")
+    pl.add_argument("--plugins-dir", required=True)
+    pl.add_argument("--list", action="store_true")
+    pl.add_argument("--name", default=None)
+    pl.add_argument("--input", default=None)
+    pl.add_argument("--output", default=None)
+    pl.add_argument("--args", default=None, help="JSON kwargs for the plugin")
+
     mi = sub.add_parser("minimalize",
                         help="blank INFO/ID/QUAL/FILTER, strip samples "
                              "to GT, or drop samples (ref minimalize plugin)")
@@ -244,6 +253,22 @@ def main(argv: list[str] | None = None) -> int:
             print(out.limit(20).toPandas().to_string(index=False))
         if param.get("output"):
             print(f"wrote {param['output']['path']}")
+    elif args.cmd == "plugin":
+        from .plugins import discover_plugins, run_plugin
+
+        if args.list or not args.name:
+            for n, m in discover_plugins(args.plugins_dir).items():
+                flag = "enabled " if m["enabled"] else "disabled"
+                print(f"{flag} {n} {m.get('__version__') or ''} — "
+                      f"{m.get('__description__') or ''}")
+        else:
+            kw = json.loads(args.args) if args.args else {}
+            eng = Engine(spark, input_path=args.input)
+            out = run_plugin(args.plugins_dir, args.name, eng, **kw)
+            eng = out if isinstance(out, Engine) else eng
+            if args.output:
+                eng.export(args.output)
+                print(f"wrote {args.output}")
     elif args.cmd == "minimalize":
         eng = Engine(spark, input_path=args.input)
         eng.minimalize(

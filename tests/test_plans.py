@@ -126,3 +126,25 @@ def test_pack_bins_window_is_partitioned(spark):
     # the window's exchange hashes on the range bucket
     assert "hashpartitioning(__b" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q39_selective_exact_broadcasts_sets(spark):
+    from howard_spark.operators.dedup import q39
+
+    plan = _plan(q39(spark, SF))
+    # per-doc shingle sets broadcast to the borderline pairs; candidate
+    # generation stays equi-join — no cartesian anywhere in the union
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q49_span_window_is_per_doc(spark):
+    from howard_spark.operators.dedup import q49
+
+    plan = _plan(q49(spark, SF))
+    # gaps-and-islands window partitions BY DOC (parallel), never a
+    # global single-task window; dup-gram filtering is an equi-join
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
