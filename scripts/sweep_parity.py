@@ -42,7 +42,11 @@ def main() -> int:
         name = t.split("/")[-1].removesuffix(".parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
 
+    from howard_spark.operators import load_extras
+
     qs, os_ = e.queries(), e.oracle_sql()
+    ex_q, ex_o = load_extras()
+    qs, os_ = {**qs, **ex_q}, {**os_, **ex_o}
     bad = []
     for k in sorted(qs):
         if k not in os_:
