@@ -256,12 +256,17 @@ def _decode_kernel(fields: list[tuple[str, object]]):
     return kernel
 
 
-def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = None) -> DataFrame:
+def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = None,
+              group_extra: list[str] | None = None) -> DataFrame:
     """Decode encoded chunk rows back to the original relation (lazy).
 
     ``columns`` prunes before the shuffle: only the requested payloads
     move. The per-chunk group is self-contained, so the rebuild is one
     ``applyInArrow`` with no further exchange.
+
+    ``group_extra``: additional chunk-identity columns when several
+    encoded stores are unioned (e.g. the streaming store's ``__batch``)
+    — (part_id, chunk_id) alone collides across stores.
     """
     if columns:
         fields = [f for f in schema.fields if f.name in columns]
@@ -270,7 +275,8 @@ def decode_df(enc: DataFrame, schema: StructType, columns: list[str] | None = No
         fields = list(schema.fields)
     out_schema = StructType(fields)
     kernel = _decode_kernel([(f.name, f.dataType) for f in fields])
-    return enc.groupBy("part_id", "chunk_id").applyInArrow(kernel, out_schema)
+    keys = ["part_id", "chunk_id", *(group_extra or [])]
+    return enc.groupBy(*keys).applyInArrow(kernel, out_schema)
 
 
 def prune_chunks(enc: DataFrame, column: str, lo=None, hi=None,
