@@ -87,17 +87,48 @@ def quick_probe() -> float:
     return json.loads(out.stdout.strip().split("\n")[-1])
 
 
+HEALTHY_GBPS = 1.4
+MAX_WORKER_TRIES = int(os.environ.get("HS_SCALING_TRIES", "4"))
+
+
+def _wait_healthy(max_waits: int = 10, wait_s: int = 45) -> float:
+    """Per-worker probe GATE (same protocol as bench.py since r4): a
+    scaling ratio is only meaningful when BOTH sides ran on a healthy
+    window, so block before each worker rather than stamping after."""
+    import time as _t
+
+    p = quick_probe()
+    for _ in range(max_waits):
+        if p >= HEALTHY_GBPS:
+            return p
+        print(f"  probe {p} < {HEALTHY_GBPS} — waiting {wait_s}s",
+              file=sys.stderr, flush=True)
+        _t.sleep(wait_s)
+        p = quick_probe()
+    return p
+
+
 def run_worker(cores: int, n_rows: int) -> dict:
-    pre = quick_probe()
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(n_rows)],
-        capture_output=True, text=True, check=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    r = json.loads(out.stdout.strip().split("\n")[-1])
-    r["probe_pre"] = pre
-    r["probe_post"] = quick_probe()
-    return r
+    """Run one parallelism level; retry when the window decayed mid-run
+    (post-probe under the bar) so recorded pairs are healthy/healthy."""
+    last = None
+    for _try in range(MAX_WORKER_TRIES):
+        pre = _wait_healthy()
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER, str(cores), str(n_rows)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        r = json.loads(out.stdout.strip().split("\n")[-1])
+        r["probe_pre"] = pre
+        r["probe_post"] = quick_probe()
+        last = r
+        if pre >= HEALTHY_GBPS and r["probe_post"] >= HEALTHY_GBPS:
+            return r
+        print(f"  local[{cores}] window decayed "
+              f"(pre {pre} / post {r['probe_post']}) — retrying",
+              file=sys.stderr, flush=True)
+    return last
 
 
 def main():
