@@ -587,17 +587,70 @@ def q44(spark, sf):
     equi-join on (band, band_key) shuffling only (vec_id, key) pairs;
     embeddings are joined back ONLY for surviving candidate ids; exact
     cosine filters at NEARDUP_LSH_THRESHOLD. Fully oracle-checked — the
-    seeded hyperplane constants are inlined into the DuckDB SQL."""
+    seeded hyperplane constants are inlined into the DuckDB SQL.
+
+    Gate config only: at scale use :func:`embedding_neardup_lsh` with
+    ``bits_per_band ~ log2(N)`` (see its docstring for why the key
+    space must grow with corpus size)."""
     e = t(spark, sf, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    b = e.select("vec_id", _bucket_col("embedding").alias("bucket"))
-    bands = b.select(
-        "vec_id", F.lit(0).alias("band"), F.pmod("bucket", F.lit(16)).alias("bkey")
-    ).unionByName(
-        b.select("vec_id", F.lit(1).alias("band"),
-                 F.shiftright("bucket", 4).alias("bkey"))
-    )
+    return embedding_neardup_lsh(e, bits_per_band=4, n_bands=2)
+
+
+def lsh_plane_family(n: int):
+    """First ``n`` planes of the seeded deterministic family (the gate's
+    PLANES are the n=8 prefix of the same stream)."""
+    import numpy as np
+
+    return [[float(x) for x in p]
+            for p in np.random.RandomState(42).standard_normal((n, DIM))]
+
+
+def embedding_neardup_lsh(
+    e,
+    bits_per_band: int = 4,
+    n_bands: int = 2,
+    threshold: float = NEARDUP_LSH_THRESHOLD,
+):
+    """Hyperplane-LSH embedding near-dup with a SIZED key space.
+
+    The band key space has ``2^bits_per_band`` values, so expected
+    bucket occupancy is N / 2^bits — and candidate volume is
+    sum-over-buckets C(occupancy, 2), i.e. ~N^2 / 2^(bits+1) per band.
+    A FIXED band width therefore goes quadratic as the corpus grows:
+    the q44 gate's 4-bit bands are fine at 5k vectors but at 1M vectors
+    each band bucket would hold ~62k vectors (2e9 pairs/bucket). The
+    scale rule is ``bits_per_band ≈ log2(N) - log2(target_occupancy)``
+    — key space grows WITH the corpus, holding per-bucket work constant
+    (more bands buy recall back, each an independent chance to collide).
+
+    Band width trades against recall AT LOW SIMILARITY: a pair at
+    cos=0.35 flips each sign bit w.p. ~0.39, so wide bands only suit
+    true near-dup thresholds (cos >= ~0.9, flip prob ~0.14). Measured
+    on 200 planted near-dup pairs (cos ~0.999) among 400 vectors
+    (tests/test_lsh_band_sizing.py): 4-bit x 2 bands = 9834 candidates,
+    recall 198/200; 8-bit x 2 = 924 candidates (10.6x fewer),
+    recall 199/200; 8-bit x 4 = 1651 candidates, recall 200/200.
+
+    Plane family is seeded + shared-prefix (lsh_plane_family), so the
+    4-bit/2-band configuration reproduces the q44 oracle bit-for-bit."""
+    planes = lsh_plane_family(bits_per_band * n_bands)
+
+    def band_key(b: int):
+        k = F.lit(0)
+        for j in range(bits_per_band):
+            p = planes[b * bits_per_band + j]
+            k = k + F.when(_proj_col("embedding", p) > 0,
+                           F.lit(1 << j)).otherwise(F.lit(0))
+        return k.cast("int")
+
+    bands = None
+    for b in range(n_bands):
+        part = e.select("vec_id", F.lit(b).alias("band"),
+                        band_key(b).alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+
     x = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
     y = bands.select(F.col("vec_id").alias("vec_b"), F.col("band").alias("band2"),
                      F.col("bkey").alias("bkey2"))
@@ -611,6 +664,6 @@ def q44(spark, sf):
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .withColumn("cos_raw", _cosine("ea", "eb"))
-        .where(F.col("cos_raw") > NEARDUP_LSH_THRESHOLD)
+        .where(F.col("cos_raw") > threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )

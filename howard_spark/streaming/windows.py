@@ -41,40 +41,6 @@ def windowed_event_counts(
     )
 
 
-def encode_stream(
-    stream: DataFrame,
-    out_dir: str,
-    keys: list[str],
-    npartitions: int = 8,
-    chunk_rows: int = 65536,
-):
-    """Continuous ingest through the codec engine: each micro-batch is
-    encoded to ``out_dir/batch=<id>/`` with the checkpointed writer
-    (atomic per-partition commit + manifest). Streaming exactly-once
-    composes from Structured Streaming's batch-id replay + the writer's
-    resume: a replayed batch skips its already-committed partitions.
-
-    Returns the StreamingQuery. Read everything back with
-    ``spark.read.parquet(f"{out_dir}/batch=*/data")``.
-    """
-    from ..checkpoint import encode_to_dir
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        encode_to_dir(
-            batch_df, f"{out_dir}/batch={batch_id}", keys=keys,
-            npartitions=npartitions, chunk_rows=chunk_rows, resume=True,
-        )
-
-    return (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{out_dir}/_stream_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
 def dedup_stream(
     docs: DataFrame,
     hash_col: str = "h",

@@ -165,8 +165,7 @@ def test_encode_stream_roundtrip(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from howard_spark.encode import decode_df
-    from howard_spark.streaming import encode_stream
+    from howard_spark.streaming import decode_encoded_stream, encode_stream
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = tmp_path / "events_in"
@@ -175,11 +174,11 @@ def test_encode_stream_roundtrip(spark, sf_dir, tmp_path):
 
     stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
     out = str(tmp_path / "enc_stream")
-    q = encode_stream(stream, out, keys=["user_id", "event_id"], npartitions=4)
+    q = encode_stream(stream, out, keys=["user_id", "event_id"],
+                      checkpoint_dir=str(tmp_path / "ckpt"), npartitions=4)
     q.awaitTermination(180)
 
-    enc = spark.read.parquet(f"{out}/batch=*/data")
-    dec = decode_df(enc, events.schema)
+    dec = decode_encoded_stream(spark, out, events.schema)
     assert dec.count() == events.count()
     sig = lambda d: d.select(
         F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in events.columns]), 256).alias("h")
