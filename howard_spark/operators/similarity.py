@@ -667,3 +667,14 @@ def embedding_neardup_lsh(
         .where(F.col("cos_raw") > threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query("q44_sized_bands", driver=False)  # rows-only: sizing lever demo;
+# recall/candidate contract is pinned by tests/test_lsh_band_sizing.py
+def q44_sized(spark, sf):
+    """embedding_neardup_lsh at the SIZED configuration (8-bit bands x
+    4): the big-regime twin of q44 showing the candidate-volume cut at
+    growing corpus sizes (see embedding_neardup_lsh docstring)."""
+    e = t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
+    return embedding_neardup_lsh(e, bits_per_band=8, n_bands=4)

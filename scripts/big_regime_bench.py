@@ -44,7 +44,9 @@ QUERIES = [
     "q49_duplicated_spans",       # r4: substring-level exact dedup
     "q35_dedup_groups", "q38_dedup_apply",
     "q40_ann_bruteforce", "q42_ann_lsh", "q43_embedding_neardup",
-    "q44_embedding_neardup_lsh", "q45_ann_ivf", "q46_kmeans_clusters",
+    "q44_embedding_neardup_lsh",
+    "q44_sized_bands",  # r4: 8-bit x 4-band sizing lever
+    "q45_ann_ivf", "q46_kmeans_clusters",
     "q47_quantize_embeddings",
 ]
 
