@@ -135,9 +135,22 @@ def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    bw = json.loads(subprocess.run([sys.executable, "-c", BW_PROBE],
-                                   capture_output=True, text=True, check=True)
-                    .stdout.strip().split("\n")[-1])
+    # Envelope gate (round-4 lesson): the single-proc probe certifies
+    # WINDOW stability, but weak-scaled multi-core runs need the
+    # AGGREGATE envelope healthy too (healthy host: ~4 GB/s at 8
+    # procs; a halved envelope starves local[8] regardless of plan).
+    env_tries = int(os.environ.get("HS_SCALING_ENV_TRIES", "6"))
+    for _try in range(env_tries):
+        bw = json.loads(subprocess.run([sys.executable, "-c", BW_PROBE],
+                                       capture_output=True, text=True,
+                                       check=True)
+                        .stdout.strip().split("\n")[-1])
+        if bw["8"] >= 3.5:
+            break
+        print(f"  aggregate envelope degraded ({bw['8']} GB/s at 8 procs,"
+              f" need >= 3.5) — waiting 120s", file=sys.stderr, flush=True)
+        import time as _t
+        _t.sleep(120)
 
     # The host's effective CPU/memory throughput drifts over minutes
     # (shared tenancy), so interleave the parallelism levels across
@@ -162,7 +175,8 @@ def main():
               "mode": "weak" if weak else "strong",
               "levels": res, "scaling_efficiency": round(eff_main, 3),
               "scaling_efficiency_8_32": round(eff_wide, 3) if eff_wide else None,
-              "copy_bandwidth_gbps": bw}
+              "copy_bandwidth_gbps": bw,
+              "envelope_healthy": bw["8"] >= 3.5}
     print(json.dumps(result, indent=2))
 
     rows = "\n".join(
