@@ -148,3 +148,13 @@ def test_q49_span_window_is_per_doc(spark):
     assert "hashpartitioning(doc_id" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_profile_single_scan_no_exchange(spark):
+    from howard_spark.operators.text import q21_profile
+
+    plan = _plan(q21_profile(spark, SF))
+    # the fused per-doc profile must stay ONE codegen'd projection over
+    # the scan — any Exchange means an accidental aggregation snuck in
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan
