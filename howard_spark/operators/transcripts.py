@@ -162,3 +162,53 @@ def transcripts_to_json(
             ).alias(out_field)
         )
     )
+
+
+def transcripts_check(
+    transcripts_view: DataFrame,
+    expected: DataFrame,
+    transcript_col: str = "transcript",
+) -> dict:
+    """The reference's ``transcripts_check`` plugin
+    (/root/reference/plugins/transcripts_check/__main__.py:74-178):
+    compare the transcripts present in a generated transcripts view
+    against an expected list, version-aware — each transcript splits on
+    '.' into (id, version) and the set algebra runs on the distinct
+    (id, version) pairs, so NM_1.2 and NM_1.3 are different entries
+    while duplicates collapse.
+
+    Returns the reference's stats dict: available / list /
+    intersection / union / percent / missing / missing_list (the
+    missing transcripts re-joined as ``id[.version]``). All set ops are
+    distinct-aggregations on two tiny key columns — the only driver
+    materialization is the missing list itself."""
+    def keyed(df: DataFrame) -> DataFrame:
+        parts = F.split(F.col(transcript_col), r"\.")
+        return df.select(
+            parts.getItem(0).alias("tid"),
+            F.when(F.size(parts) > 1, parts.getItem(1)).alias("tver"),
+        ).distinct()
+
+    have = keyed(transcripts_view)
+    want = keyed(expected)
+    n_have = have.count()
+    n_want = want.count()
+    # version-less transcripts carry a NULL tver: the set algebra must
+    # treat NULL = NULL as a match, so the joins use eqNullSafe
+    h = have.select(F.col("tid").alias("h_tid"), F.col("tver").alias("h_tver"))
+    cond = (F.col("tid") == F.col("h_tid")) & F.col("tver").eqNullSafe(F.col("h_tver"))
+    n_inter = want.join(h, cond, "inner").count()
+    missing = want.join(h, cond, "left_anti")
+    missing_list = sorted(
+        r["tid"] + (f".{r['tver']}" if r["tver"] is not None else "")
+        for r in missing.collect()
+    )
+    return {
+        "available": n_have,
+        "list": n_want,
+        "intersection": n_inter,
+        "union": n_have + n_want - n_inter,
+        "percent": n_inter / n_want if n_want else 0.0,
+        "missing": len(missing_list),
+        "missing_list": missing_list,
+    }

@@ -126,3 +126,24 @@ def test_prioritize_transcripts(spark):
     forced = best_transcript(prioritize(view, crits), preference=pref1,
                              order_cols=["PZScore"], preference_first=True).collect()
     assert forced[0]["transcript"] == "ENST01"
+
+
+def test_transcripts_check_stats(spark):
+    """Version-aware set algebra vs the expected list (ref
+    transcripts_check plugin semantics)."""
+    from howard_spark.operators.transcripts import transcripts_check
+
+    view = spark.createDataFrame(
+        [("NM_1.2",), ("NM_1.2",), ("NM_2.1",), ("NM_3",)],
+        "transcript string")
+    expected = spark.createDataFrame(
+        [("NM_1.2",), ("NM_1.3",), ("NM_3",), ("NM_9.9",)],
+        "transcript string")
+    s = transcripts_check(view, expected)
+    assert s["available"] == 3          # NM_1.2, NM_2.1, NM_3 (deduped)
+    assert s["list"] == 4
+    assert s["intersection"] == 2       # NM_1.2 and NM_3
+    assert s["union"] == 5
+    assert s["percent"] == 0.5
+    assert s["missing"] == 2
+    assert s["missing_list"] == ["NM_1.3", "NM_9.9"]  # version-sensitive
