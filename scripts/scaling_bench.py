@@ -151,6 +151,12 @@ def main():
               f" need >= 3.5) — waiting 120s", file=sys.stderr, flush=True)
         import time as _t
         _t.sleep(120)
+    else:
+        if not os.environ.get("HS_SCALING_ENV_FORCE"):
+            print("aggregate envelope stayed degraded — refusing to record "
+                  "a garbage ratio (set HS_SCALING_ENV_FORCE=1 to override)",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
 
     # The host's effective CPU/memory throughput drifts over minutes
     # (shared tenancy), so interleave the parallelism levels across
