@@ -105,3 +105,29 @@ def stream_manifest_summary(out_dir: str) -> dict:
         out[batch] = {"parts": parts, "rows": rows,
                       "raw_bytes": raw, "enc_bytes": enc}
     return out
+
+
+def compact_stream_store(
+    spark,
+    out_dir: str,
+    dst_dir: str,
+    keys: list[str],
+    schema,
+    npartitions: int | None = None,
+):
+    """Compact a streaming store (many small per-batch stores) into ONE
+    canonical checkpointed store.
+
+    Long-running ingest accumulates a store per micro-batch — hundreds
+    of small files whose range partitioning reflects arrival order, not
+    the global key space. Compaction decodes the union and re-encodes
+    through the batch writer: the result is the SAME bytes a one-shot
+    batch encode of the full data would produce (checkpoint.py's
+    determinism contract), so downstream consumers can switch dirs
+    atomically. Run it from a maintenance job; the stream keeps
+    appending new batch dirs meanwhile and the next compaction folds
+    them in. Returns encode_to_dir's metrics."""
+    from ..checkpoint import encode_to_dir
+
+    dec = decode_encoded_stream(spark, out_dir, schema)
+    return encode_to_dir(dec, dst_dir, keys=keys, npartitions=npartitions)

@@ -61,3 +61,33 @@ def test_stream_batch_replay_is_idempotent(spark, tmp_path):
                       npartitions=4, resume=True)
     assert m["parts_skipped"] == m["parts_total"] > 0
     assert m["parts_encoded_this_run"] == 0
+
+
+def test_compact_stream_store_equals_batch_encode(spark, tmp_path):
+    """Compaction of the per-batch stores must reproduce what a ONE-SHOT
+    batch encode of the same rows produces (decode-identical; and the
+    canonical store is a single dir with its own manifests)."""
+    import os
+
+    from howard_spark.encode import decode_df
+    from howard_spark.checkpoint import read_encoded
+    from howard_spark.streaming.encode_stream import compact_stream_store
+
+    docs, src = _split_source(spark, tmp_path)
+    out = str(tmp_path / "store")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = encode_stream(stream, out, keys=["doc_id"],
+                      checkpoint_dir=str(tmp_path / "ckpt"), npartitions=4)
+    q.awaitTermination(180)
+
+    dst = str(tmp_path / "canonical")
+    m = compact_stream_store(spark, out, dst, keys=["doc_id"],
+                             schema=docs.schema, npartitions=4)
+    assert m["rows"] == docs.count()
+    assert os.path.isdir(f"{dst}/_manifest")
+
+    dec = decode_df(read_encoded(spark, dst), docs.schema)
+    a = docs.select(F.sha2("text", 256).alias("h")).groupBy("h").count()
+    b = dec.select(F.sha2("text", 256).alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
