@@ -255,3 +255,53 @@ def encode_to_dir(
 
 def read_encoded(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def verify_store(spark, out_dir: str) -> dict:
+    """Scrub an encoded store against its lineage (the maintenance job
+    a 100-TB archive runs periodically):
+
+    1. payload integrity — recompute sha256(payload) for EVERY chunk
+       row JVM-side (``sha2`` native expression, no Python) and compare
+       to the sha recorded at encode time: catches bit rot / partial
+       writes inside payloads;
+    2. manifest consistency — per part, the multiset of chunk shas in
+       the data files must equal the manifest's ``chunk_shas``: catches
+       lost, truncated, duplicated, or orphaned chunk rows.
+
+    Returns {'parts', 'chunks', 'payload_mismatches',
+    'manifest_mismatches': [part_id...], 'ok'}. Only per-part digest
+    strings reach the driver."""
+    import hashlib as _hl
+
+    enc = read_encoded(spark, out_dir)
+    bad_payload = (
+        enc.select(
+            F.when(F.substring(F.sha2("payload", 256), 1, 16) != F.col("sha"), 1)
+            .otherwise(0).alias("bad"))
+        .agg(F.sum("bad").alias("n")).first()["n"]
+    )
+    actual = {
+        r["part_id"]: r["digest"]
+        for r in enc.groupBy("part_id")
+        .agg(F.sha2(F.concat_ws("|", F.array_sort(F.collect_list("sha"))), 256)
+             .alias("digest"))
+        .collect()
+    }
+    manifests = _scan_manifests(out_dir)
+    expected = {
+        pid: _hl.sha256("|".join(sorted(m["chunk_shas"])).encode()).hexdigest()
+        for pid, m in manifests.items()
+    }
+    mismatched = sorted(
+        set(pid for pid in expected if actual.get(pid) != expected[pid])
+        | set(actual) - set(expected)
+    )
+    n_chunks = enc.count()
+    return {
+        "parts": len(manifests),
+        "chunks": n_chunks,
+        "payload_mismatches": int(bad_payload or 0),
+        "manifest_mismatches": mismatched,
+        "ok": not bad_payload and not mismatched,
+    }

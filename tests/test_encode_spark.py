@@ -178,3 +178,41 @@ def test_resume_noop_when_complete(spark, corpus, tmp_path):
     assert m["parts_skipped"] == 4
     assert m["parts_encoded_this_run"] == 0
     assert _dir_signature(d) == sig
+
+
+def test_verify_store_scrub_detects_corruption(spark, tmp_path):
+    """verify_store: clean store passes; a flipped payload byte is a
+    payload mismatch; a dropped chunk row is a manifest mismatch."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from howard_spark.checkpoint import encode_to_dir, verify_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "store")
+    encode_to_dir(docs, out, keys=["doc_id"], npartitions=4)
+
+    v = verify_store(spark, out)
+    assert v["ok"] and v["payload_mismatches"] == 0
+    assert v["parts"] == 4 and v["chunks"] > 0
+
+    files = sorted(glob.glob(f"{out}/data/part-*.parquet"))
+
+    # 1. bit rot: flip one byte inside one payload, keep everything else
+    t = pq.read_table(files[0])
+    payloads = t.column("payload").to_pylist()
+    payloads[0] = bytes([payloads[0][0] ^ 0xFF]) + payloads[0][1:]
+    t = t.set_column(t.schema.get_field_index("payload"),
+                     "payload", pa.array(payloads, type=pa.binary()))
+    pq.write_table(t, files[0], compression="none")
+    v = verify_store(spark, out)
+    assert not v["ok"] and v["payload_mismatches"] == 1
+    assert v["manifest_mismatches"] == []  # sha column untouched
+
+    # 2. lost chunk row: drop the first row of another part's file
+    t2 = pq.read_table(files[1])
+    pq.write_table(t2.slice(1), files[1], compression="none")
+    v = verify_store(spark, out)
+    assert v["manifest_mismatches"] != []
