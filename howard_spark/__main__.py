@@ -11,6 +11,7 @@
   python -m howard_spark hgvs       --input f --refgene tx.txt --genome g.tsv --output out
   python -m howard_spark prioritization --input f --criteria c.json --output out
   python -m howard_spark minimalize --input f.vcf --output out.vcf --minimalize-info --minimalize-samples
+  python -m howard_spark plugin     --plugins-dir plugins/ [--list | --name X --input f --output out]
   python -m howard_spark from-annovar   --input anno.txt --output db.parquet
   python -m howard_spark from-extann    --input genes.tsv --refgene rg.tsv --output db.bed
 
