@@ -591,3 +591,51 @@ def q82(spark, sf):
              F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
              .cast("bigint").alias("n_contaminated"))
     )
+
+
+@query(
+    "q84_fuzzy_vocab",
+    driver=False,
+    oracle=r"""
+    WITH terms AS (
+        SELECT DISTINCT tok AS term FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) WHERE tok <> ''
+    ),
+    keyed AS (
+        SELECT term, length(term) AS k FROM terms
+        UNION ALL
+        SELECT term, length(term) + 1 AS k FROM terms
+    )
+    SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 1
+    """,
+)
+def q84(spark, sf):
+    """Fuzzy vocabulary join: pairs of distinct corpus terms within
+    edit distance 1 (typo/variant detection for vocab cleanup). An
+    edit-distance join is not an equi-join, so candidates come from a
+    LENGTH BAND encoded as equi-keys: every term emits keys len and
+    len+1, and any pair with |len_a - len_b| <= 1 collides on some key
+    — the self-join shuffles (term, key) only, never all pairs; exact
+    levenshtein filters the collisions. The same length-banding carries
+    any bounded-distance d (emit keys len..len+d). Both engines run the
+    identical plan, so the gate is fully hash-checked."""
+    d = t(spark, sf, "documents")
+    terms = (d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                      .alias("term"))
+             .where(F.col("term") != "").distinct())
+    keyed = terms.select("term", F.length("term").alias("k")).unionByName(
+        terms.select("term", (F.length("term") + 1).alias("k")))
+    a = keyed.select(F.col("term").alias("term_a"), "k")
+    b = keyed.select(F.col("term").alias("term_b"), F.col("k").alias("k2"))
+    return (
+        a.join(b, (F.col("k") == F.col("k2"))
+               & (F.col("term_a") < F.col("term_b")))
+        .where(F.levenshtein("term_a", "term_b") <= 1)
+        .select("term_a", "term_b",
+                F.levenshtein("term_a", "term_b").cast("bigint").alias("dist"))
+        .distinct()
+    )
