@@ -4,6 +4,11 @@ entry(spark)  -> flagship: documents through the full codec engine
                  (encode -> decode), sha-verified per lang.
 queries()     -> one entry per implemented operator (SURVEY.md §2 +
                  training-data ops), each (spark, sf_dir) -> DataFrame.
+                 Exactly <=50 entries (the driver verifies at most 50
+                 per round), ALL oracle-backed; near-duplicate and
+                 engine-internal gates live in the extras tier
+                 (howard_spark.operators.load_extras), covered by the
+                 pytest parity suite and bench.py instead.
 oracle_sql()  -> matching DuckDB SQL for every oracle-checkable query.
 """
 
