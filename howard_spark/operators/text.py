@@ -639,3 +639,90 @@ def q84(spark, sf):
                 F.levenshtein("term_a", "term_b").cast("bigint").alias("dist"))
         .distinct()
     )
+
+
+@query(
+    "q85_unigram_logprob",
+    driver=False,
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, tok AS term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) WHERE tok <> ''
+    ),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    lm AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY term)
+    SELECT t.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(lm.cnt / total.n)) / count(*), 4) AS avg_logprob
+    FROM toks t JOIN lm ON lm.term = t.term, total
+    GROUP BY t.doc_id
+    """,
+)
+def q85(spark, sf):
+    """Unigram language-model scoring: per-document mean token
+    log-probability under the corpus's own unigram distribution — the
+    classic perplexity-style quality/outlier filter (documents full of
+    rare tokens score low; stopword soup scores high). The LM is a
+    corpus-wide term-count table, BROADCAST back onto the token stream;
+    the ln inputs are exact integer ratios in both engines, so the
+    4dp-rounded mean absorbs sum-order differences (same recipe as
+    q29's TF-IDF). Shuffles: one term-count agg + one per-doc sum."""
+    d = t(spark, sf, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .where(F.col("term") != ""))
+    total = float(toks.count())
+    lm = F.broadcast(toks.groupBy("term").agg(
+        F.count("*").cast("double").alias("cnt")))
+    return (
+        toks.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.round(F.sum(F.log(F.col("cnt") / F.lit(total)))
+                     / F.count("*"), 4).alias("avg_logprob"))
+    )
+
+
+# target acceptance rate per language stratum (16^8-granular md5
+# thresholds; module literals so both engines inline the same CASE)
+MIX_TARGETS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125, "it": 0.75}
+MIX_SEED = "mix42"
+
+
+def _mix_threshold_hex(p: float) -> str:
+    return format(min(int(p * 16**8), 16**8 - 1), "08x")
+
+
+@query(
+    "q86_mix_rebalance",
+    driver=False,
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               substring(md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+               CASE {' '.join(f"WHEN lang = '{k}' THEN '{_mix_threshold_hex(v)}'" for k, v in MIX_TARGETS.items())}
+                    ELSE '00000000' END AS thr
+        FROM documents
+    ) WHERE h < thr
+    """,
+)
+def q86(spark, sf):
+    """Training-mix rebalancing: deterministic per-stratum downsampling
+    to target rates (keep ~TARGET[lang] of each language). The draw is
+    md5(seed:doc_id) compared against an 8-hex-digit threshold — a
+    seeded Bernoulli that is reproducible across engines, runs, and
+    partition layouts (rand() is not), and STABLE under corpus growth:
+    a doc's keep/drop never changes when other docs arrive, so
+    incremental pipeline runs stay consistent. Pure projection +
+    filter, no shuffle; complements q26's exact-quota sampling."""
+    d = t(spark, sf, "documents")
+    h = F.substring(F.md5(F.concat(F.lit(f"{MIX_SEED}:"),
+                                   F.col("doc_id").cast("string"))), 1, 8)
+    thr = F.lit("00000000")
+    for k, v in MIX_TARGETS.items():
+        thr = F.when(F.col("lang") == k,
+                     F.lit(_mix_threshold_hex(v))).otherwise(thr)
+    return d.select("doc_id", "lang").where(h < thr)
