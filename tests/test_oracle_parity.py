@@ -75,3 +75,38 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0  # runs and returns a stable relation
     assert len(df.columns) > 0
+
+
+def test_mix_rebalance_rates_near_targets(spark):
+    """q86's md5-threshold Bernoulli must land each stratum near its
+    target rate (binomial tolerance at 100 docs/stratum) and be
+    growth-stable: the sf0.001 keep-set is exactly the restriction of
+    the sf0.01 keep-set to sf0.001's doc_ids."""
+    from pyspark.sql import functions as F
+
+    from howard_spark.operators.text import MIX_TARGETS, q86
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    per_lang = {r["lang"]: r["n"] for r in
+                d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            q86(spark, SF).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, p in MIX_TARGETS.items():
+        if lang not in per_lang:
+            continue
+        rate = kept.get(lang, 0) / per_lang[lang]
+        assert abs(rate - p) < 0.17, (lang, p, rate)
+
+    # growth stability: grow the SAME corpus (original rows + new docs)
+    # — every original doc's keep/drop decision must be unchanged
+    import tempfile
+
+    grown_dir = tempfile.mkdtemp(prefix="mix_grow_")
+    extra = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text", "lang", "source", "n_chars")
+    d.unionByName(extra).write.mode("overwrite") \
+        .parquet(f"{grown_dir}/documents.parquet")
+    small = {r["doc_id"] for r in q86(spark, SF).collect()}
+    grown = {r["doc_id"] for r in q86(spark, grown_dir).collect()}
+    ids_small = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert small == grown & ids_small  # originals' decisions unchanged
