@@ -86,7 +86,12 @@ def main() -> None:
                    and out["probe_post_gbps"] >= HEALTHY_GBPS)
         out["probe_healthy"] = healthy
         out["attempt"] = attempt
-        if best_out is None or out["value"] < best_out["value"]:
+        # Healthy attempts beat degraded ones OUTRIGHT regardless of wall
+        # time (the probe is a GATE: a fast-but-degraded number must never
+        # shadow a healthy one); among equals, fastest wins.
+        key = (not healthy, out["value"])
+        if best_out is None or key < (not best_out["probe_healthy"],
+                                      best_out["value"]):
             best_out = out
         if healthy:
             break

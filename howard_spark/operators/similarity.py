@@ -250,9 +250,20 @@ KM_SAMPLE_FRACTION = 0.25  # q46's train-on-sample fraction (16ths)
 def _km_sample_digits(fraction: float) -> str:
     """First-hex-digit prefix set selecting ~``fraction`` of vectors by
     md5('km:'||vec_id) — the same seeded-hash sampling recipe as q26
-    (deterministic across engines, runs, and partition layouts;
-    granularity 1/16)."""
-    n = max(1, min(15, round(fraction * 16)))
+    (deterministic across engines, runs, and partition layouts).
+
+    Granularity floor is 1/16 (one hex digit): fractions below ~1/32
+    would round to ZERO vectors, so they raise instead of silently
+    rounding up to 1/16; ``fraction >= 1.0`` returns all 16 digits
+    (callers skip the predicate entirely — no 15/16 clamp)."""
+    if fraction >= 1.0:
+        return "0123456789abcdef"
+    n = round(fraction * 16)
+    if n < 1:
+        raise ValueError(
+            f"sample_fraction={fraction} is below the 1/16 granularity "
+            f"floor of md5-first-hex-digit sampling; use >= 1/32 "
+            f"(rounds to 1/16) or a different sampling recipe")
     return "0123456789abcdef"[:n]
 
 
@@ -263,8 +274,9 @@ def _km_sample_pred_sql(fraction: float) -> str:
 
 
 def _km_assign_sql(cent: str, sample_fraction: float | None = None) -> str:
+    use_sample = sample_fraction is not None and sample_fraction < 1.0
     where = (f"WHERE {_km_sample_pred_sql(sample_fraction)} "
-             if sample_fraction else "")
+             if use_sample else "")
     return (
         f"SELECT vec_id, embedding, cid FROM ("
         f"SELECT e.vec_id, e.embedding, c.cid, row_number() OVER ("
@@ -344,7 +356,8 @@ def kmeans_centroids(e, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS,
     assignment (the only full-data pass) is unchanged and stays
     oracle-checked per vector (q46)."""
     spark = e.sparkSession
-    train = e.where(km_sample_pred(sample_fraction)) if sample_fraction else e
+    use_sample = sample_fraction is not None and sample_fraction < 1.0
+    train = e.where(km_sample_pred(sample_fraction)) if use_sample else e
     cent = e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"))
@@ -678,3 +691,173 @@ def q44_sized(spark, sf):
     e = t(spark, sf, "embeddings").repartition(
         spark.sparkContext.defaultParallelism)
     return embedding_neardup_lsh(e, bits_per_band=8, n_bands=4)
+
+
+# --- ANN recall report (round-5, r4 verdict #3) -------------------------
+# Recall claims as MEASURED numbers, not docstrings: recall@K of each
+# ANN configuration (IVF nprobe sweep, LSH band configs) against the
+# brute-force ground truth, over a deterministic query set. Emitted as
+# exact integers (hits, total) — recall = hits/total is derivable and
+# the float-tie caveat never applies.
+ANN_RECALL_Q = 16      # query set: vec_id 0..15
+ANN_RECALL_K = 10      # recall@10
+ANN_RECALL_NPROBES = (1, 2, 4)
+ANN_RECALL_LSH = ((4, 2), (8, 4))  # (bits_per_band, n_bands)
+
+
+def _band_key_sql(col: str, planes, b: int, bits: int) -> str:
+    terms = [
+        f"(CASE WHEN {_proj_sql(col, planes[b * bits + j])} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _band_key_col(col: str, planes, b: int, bits: int):
+    k = F.lit(0)
+    for j in range(bits):
+        k = k + F.when(_proj_col(col, planes[b * bits + j]) > 0,
+                       F.lit(1 << j)).otherwise(F.lit(0))
+    return k.cast("int")
+
+
+def _ann_recall_oracle_sql() -> str:
+    K, Q = ANN_RECALL_K, ANN_RECALL_Q
+    ctes = [
+        f"qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+        f"WHERE vec_id < {Q})",
+        f"gt AS (SELECT qid, vec_id FROM ("
+        f"SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid "
+        f"ORDER BY {_cosine_sql('e.embedding', 'q.qe')} DESC, e.vec_id ASC) AS rn "
+        f"FROM embeddings e, qs q WHERE e.vec_id <> q.qid) WHERE rn <= {K})",
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM gt)",
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS ({_km_assign_sql(f'cent{i}')})")
+        ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
+    final = f"cent{KMEANS_ITERS}"
+    ctes.append(f"buckets AS ({_km_assign_sql(final)})")
+    ctes.append(
+        f"qcent AS (SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY {_cosine_sql('qe', 'ce')} DESC, cid ASC) AS cr "
+        f"FROM qs, {final})")
+    selects = [
+        "SELECT 'brute' AS config, tot.total AS hits, tot.total AS total FROM tot"
+    ]
+    for p in ANN_RECALL_NPROBES:
+        ctes.append(
+            f"ivf{p} AS (SELECT qid, vec_id FROM ("
+            f"SELECT p.qid, b.vec_id, row_number() OVER (PARTITION BY p.qid "
+            f"ORDER BY {_cosine_sql('b.embedding', 'p.qe')} DESC, b.vec_id ASC) AS rn "
+            f"FROM buckets b JOIN (SELECT qid, qe, cid FROM qcent WHERE cr <= {p}) p "
+            f"ON b.cid = p.cid AND b.vec_id <> p.qid) WHERE rn <= {K})")
+        selects.append(
+            f"SELECT 'ivf_nprobe{p}' AS config, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM ivf{p} i "
+            f"JOIN gt g ON g.qid = i.qid AND g.vec_id = i.vec_id) AS hits, "
+            f"tot.total AS total FROM tot")
+    for bits, nb in ANN_RECALL_LSH:
+        planes = lsh_plane_family(bits * nb)
+        cfg = f"lsh_{bits}x{nb}"
+        vparts = " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            f"{_band_key_sql('embedding', planes, b, bits)} AS bkey FROM embeddings"
+            for b in range(nb))
+        qparts = " UNION ALL ".join(
+            f"SELECT qid, qe, {b} AS band, "
+            f"{_band_key_sql('qe', planes, b, bits)} AS bkey FROM qs"
+            for b in range(nb))
+        ctes.append(f"vb_{cfg} AS ({vparts})")
+        ctes.append(f"qb_{cfg} AS ({qparts})")
+        ctes.append(
+            f"cand_{cfg} AS (SELECT DISTINCT q.qid, v.vec_id FROM vb_{cfg} v "
+            f"JOIN qb_{cfg} q ON v.band = q.band AND v.bkey = q.bkey "
+            f"AND v.vec_id <> q.qid)")
+        ctes.append(
+            f"top_{cfg} AS (SELECT qid, vec_id FROM ("
+            f"SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid "
+            f"ORDER BY {_cosine_sql('e.embedding', 'q.qe')} DESC, c.vec_id ASC) AS rn "
+            f"FROM cand_{cfg} c JOIN embeddings e ON e.vec_id = c.vec_id "
+            f"JOIN qs q ON q.qid = c.qid) WHERE rn <= {K})")
+        selects.append(
+            f"SELECT '{cfg}' AS config, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM top_{cfg} i "
+            f"JOIN gt g ON g.qid = i.qid AND g.vec_id = i.vec_id) AS hits, "
+            f"tot.total AS total FROM tot")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def ann_recall_report(spark, sf, k: int = ANN_RECALL_K,
+                      n_queries: int = ANN_RECALL_Q):
+    """recall@k of every ANN configuration vs brute-force ground truth.
+
+    Scale shape: the query set is tiny and BROADCAST everywhere; ground
+    truth is the only O(Q*N) stage (at 100 TB you run it on a sampled
+    query set exactly like this — recall measurement is inherently a
+    sampled verifier, the production search path stays IVF/LSH). IVF
+    candidates come from an equi-join on cid, LSH candidates from an
+    equi-join on (band, bkey) — per-config cost is the candidate list,
+    never all pairs. One row per config: (config, hits, total)."""
+    e = t(spark, sf, "embeddings")
+    qs = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+
+    def topk(scored):
+        return (scored.withColumn("rn", F.row_number().over(wq))
+                .where(F.col("rn") <= k).select("qid", "vec_id"))
+
+    gt = topk(e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", _cosine("embedding", "qe").alias("c")))
+    total_df = gt.agg(F.count("*").cast("bigint").alias("total"))
+
+    def report_row(name, found):
+        return (found.join(gt, ["qid", "vec_id"], "left_semi")
+                .agg(F.count("*").cast("bigint").alias("hits"))
+                .select(F.lit(name).alias("config"), "hits")
+                .crossJoin(total_df))
+
+    out = report_row("brute", gt)
+
+    cent = kmeans_centroids(e)
+    buckets = _kmeans_assign(e, cent)
+    qcent = (qs.crossJoin(F.broadcast(cent))
+             .select("qid", "qe", "cid", _cosine("qe", "ce").alias("c"))
+             .withColumn("cr", F.row_number().over(
+                 Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("cid")))))
+    for p in ANN_RECALL_NPROBES:
+        probe = qcent.where(F.col("cr") <= p).select("qid", "qe", "cid")
+        scored = (buckets.join(F.broadcast(probe), "cid")
+                  .where(F.col("vec_id") != F.col("qid"))
+                  .select("qid", "vec_id", _cosine("embedding", "qe").alias("c")))
+        out = out.unionByName(report_row(f"ivf_nprobe{p}", topk(scored)))
+
+    for bits, nb in ANN_RECALL_LSH:
+        planes = lsh_plane_family(bits * nb)
+        vbands, qbands = None, None
+        for b in range(nb):
+            vp = e.select("vec_id", F.lit(b).alias("band"),
+                          _band_key_col("embedding", planes, b, bits).alias("bkey"))
+            qp = qs.select("qid", F.lit(b).alias("band"),
+                           _band_key_col("qe", planes, b, bits).alias("bkey"))
+            vbands = vp if vbands is None else vbands.unionByName(vp)
+            qbands = qp if qbands is None else qbands.unionByName(qp)
+        cand = (vbands.join(F.broadcast(qbands), ["band", "bkey"])
+                .where(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id").distinct())
+        scored = (cand.join(e, "vec_id").join(F.broadcast(qs), "qid")
+                  .select("qid", "vec_id", _cosine("embedding", "qe").alias("c")))
+        out = out.unionByName(report_row(f"lsh_{bits}x{nb}", topk(scored)))
+    return out
+
+
+@query("q87_ann_recall", _ann_recall_oracle_sql(), driver=False)
+def q87(spark, sf):
+    """Gate for :func:`ann_recall_report` — the measured recall@10 of
+    IVF (nprobe 1/2/4) and hyperplane-LSH (4bit x2, 8bit x4) vs brute
+    force, fully oracle-checked (hits/total as exact bigints)."""
+    return ann_recall_report(spark, sf)

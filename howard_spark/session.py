@@ -27,6 +27,13 @@ def get_spark(app: str = "howard_spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime (AQE) broadcast decisions use this bar against ACTUAL
+        # materialized sizes — 64m is comfortably inside executor memory
+        # and lets mid-size dimension tables (e.g. the semi-join-restricted
+        # shingle-set table of exact_pair_scores) take the broadcast plan;
+        # above it joins stay shuffle equi-joins. 10m (the default) was
+        # tuned for 1g executors, not this profile.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

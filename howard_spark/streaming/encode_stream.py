@@ -49,6 +49,11 @@ def encode_stream(
     ``out_dir`` accumulates one encoded store per micro-batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # An empty micro-batch must not create a batch-N/data/ dir
+            # with zero parquet files — spark.read.parquet over such a
+            # dir fails schema inference and bricks the whole store.
+            return
         bdir = os.path.join(out_dir, f"batch-{batch_id:06d}")
         encode_to_dir(batch_df, bdir, keys=keys,
                       npartitions=npartitions, chunk_rows=chunk_rows,
@@ -69,7 +74,13 @@ def read_encoded_stream(spark, out_dir: str) -> DataFrame:
     :func:`decode_encoded_stream`)."""
     from pyspark.sql import functions as F
 
-    dirs = sorted(glob.glob(os.path.join(out_dir, "batch-*", "data")))
+    dirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "batch-*", "data"))
+        # Defense in depth vs the empty-batch guard in encode_stream:
+        # a data/ dir with no parquet files would fail schema inference
+        # for the WHOLE union read, so skip it rather than brick the store.
+        if glob.glob(os.path.join(d, "*.parquet"))
+    )
     if not dirs:
         raise FileNotFoundError(f"no encoded batches under {out_dir}")
     return spark.read.parquet(*dirs).withColumn(

@@ -91,3 +91,37 @@ def test_compact_stream_store_equals_batch_encode(spark, tmp_path):
     a = docs.select(F.sha2("text", 256).alias("h")).groupBy("h").count()
     b = dec.select(F.sha2("text", 256).alias("h")).groupBy("h").count()
     assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_empty_batch_does_not_brick_store(spark, tmp_path):
+    """ADVICE r4: an empty micro-batch must neither create an
+    unreadable zero-parquet batch dir (sink guard) nor — if one exists
+    anyway, e.g. from an older store — break the union read (reader
+    guard skips parquet-less data/ dirs)."""
+    import os
+
+    docs, src = _split_source(spark, tmp_path)
+    out = str(tmp_path / "store")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = encode_stream(stream, out, keys=["doc_id"],
+                      checkpoint_dir=str(tmp_path / "ckpt"), npartitions=2)
+    q.awaitTermination(180)
+
+    # simulate a legacy store poisoned by an empty batch dir
+    os.makedirs(os.path.join(out, "batch-000099", "data"))
+    dec = decode_encoded_stream(spark, out, docs.schema)
+    assert dec.count() == docs.count()
+
+    # sink guard: an empty micro-batch creates no batch dir at all
+    # (exercise the real foreachBatch sink over an all-filtered source)
+    before = set(os.listdir(out))
+    empty_src = str(tmp_path / "empty_src")
+    docs.where(F.lit(False)).coalesce(1).write.parquet(empty_src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", "1").parquet(empty_src))
+    q2 = encode_stream(stream2, out, keys=["doc_id"],
+                       checkpoint_dir=str(tmp_path / "ckpt2"), npartitions=2)
+    q2.awaitTermination(180)
+    after = set(os.listdir(out))
+    assert after == before  # no new batch dirs from the empty batch

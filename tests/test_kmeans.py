@@ -135,3 +135,28 @@ def test_kmeans_sampled_training_quality(spark):
     n = e.count()
     ns = e.where(km_sample_pred(KM_SAMPLE_FRACTION)).count()
     assert 0.15 * n <= ns <= 0.35 * n
+
+
+def test_sample_fraction_edge_cases(spark):
+    """ADVICE r4: fraction>=1.0 means NO filter (not a 15/16 clamp);
+    fractions below the 1/16 md5-hex-digit granularity floor raise
+    instead of silently rounding up."""
+    import pytest
+
+    from howard_spark.operators.similarity import (_km_sample_digits,
+                                                   km_sample_pred,
+                                                   kmeans_centroids)
+
+    assert _km_sample_digits(1.0) == "0123456789abcdef"
+    assert _km_sample_digits(0.5) == "01234567"
+    with pytest.raises(ValueError):
+        _km_sample_digits(0.01)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # fraction=1.0 trains on every vector: identical to no sampling
+    full = {(r["cid"], tuple(r["ce"]))
+            for r in kmeans_centroids(e).collect()}
+    all_frac = {(r["cid"], tuple(r["ce"]))
+                for r in kmeans_centroids(e, sample_fraction=1.0).collect()}
+    assert full == all_frac
+    assert e.where(km_sample_pred(1.0)).count() == e.count()

@@ -158,3 +158,36 @@ def test_q21_profile_single_scan_no_exchange(spark):
     # the scan — any Exchange means an accidental aggregation snuck in
     assert "Exchange" not in plan
     assert "*(1) Project" in plan
+
+
+def test_exact_verify_semijoin_restricts_sets(spark):
+    """Round-5 scale fix (r4 verdict #1): the exact-verify kernels must
+    never build shingle sets for the whole corpus — the set table is
+    semi-join-restricted to docs appearing in the candidate/borderline
+    pairs BEFORE the pair join, and Catalyst pushes that semi join below
+    the shingle explode (so even shingling runs only on needed docs)."""
+    from howard_spark.operators.dedup import q34, q39
+
+    for gate in (q34, q39):
+        plan = _plan(gate(spark, SF))
+        assert "LeftSemi" in plan, gate.__name__
+        assert "CartesianProduct" not in plan
+
+
+def test_exact_pair_scores_shuffle_mode_matches_broadcast(spark):
+    """The broadcast and shuffle strategies of exact_pair_scores are the
+    same operator: identical rows, and the forced-shuffle plan really
+    does join without broadcasting the set table (the >memory path)."""
+    from howard_spark.operators.dedup import (_shingles_df,
+                                              exact_pair_scores, q32)
+
+    pairs = q32(spark, SF)
+    sh = _shingles_df(spark, SF).distinct()
+    rows_b = sorted(map(tuple, exact_pair_scores(
+        pairs, sh, join_mode="broadcast").collect()))
+    shuffled = exact_pair_scores(pairs, sh, join_mode="shuffle")
+    rows_s = sorted(map(tuple, shuffled.collect()))
+    assert rows_b == rows_s and len(rows_b) > 0
+    # the two set-side joins must be sort-merge under the hint (the
+    # needed-ids semi join MAY still broadcast — it carries only ids)
+    assert len(re.findall(r"SortMergeJoin .*, Inner", _plan(shuffled))) >= 2
