@@ -529,7 +529,8 @@ def _cc_small_star(e):
 
 
 def connected_components(edges, max_rounds: int = 50,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         stats: dict | None = None):
     """Connected components via alternating large-star / small-star
     (Kiveris et al., 'Connected Components in MapReduce and Beyond') —
     O(log n) rounds regardless of graph DIAMETER, unlike min-label
@@ -546,6 +547,8 @@ def connected_components(edges, max_rounds: int = 50,
 
     Input: DataFrame with columns (u, v). Output: (u, group_id) for
     every node incident to an edge, group_id = component minimum.
+    ``stats`` (optional dict) receives {"rounds": N} — observability
+    for the durable-vs-local checkpoint benchmark.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -558,7 +561,9 @@ def connected_components(edges, max_rounds: int = 50,
 
     e = _ckpt(_cc_canon(edges))
     prev, prev_sig = None, None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        if stats is not None:
+            stats["rounds"] = _round + 1
         e_new = _ckpt(_cc_canon(_cc_small_star(_cc_large_star(e))))
         sig = tuple(e_new.agg(
             F.count("*"),
