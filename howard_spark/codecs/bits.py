@@ -44,8 +44,15 @@ def pack_uints(arr: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"width {width} > 64")
     a = np.ascontiguousarray(arr, dtype=np.uint64)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    # byte-view path: take the top ceil(w/8) big-endian bytes of each
+    # value, unpack to a bit matrix with C-speed unpackbits, drop the
+    # pad bits. Same output bytes as the old (a[:,None] >> shifts) & 1
+    # construction, but the intermediate is n*ceil(w/8) bytes instead
+    # of an n*w uint64 matrix (~10 MB per 64Ki-row call at w=20).
+    n = a.size
+    wb = (width + 7) // 8
+    be = a.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - wb:]
+    bits = np.unpackbits(be, axis=1)[:, wb * 8 - width:]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -54,9 +61,17 @@ def unpack_uints(data: bytes, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
-    bits = bits.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    bits = bits.reshape(n, width)
+    # byte-view inverse of pack_uints: left-pad each row to whole
+    # big-endian bytes, packbits to n*ceil(w/8) bytes, widen to 8-byte
+    # big-endian words — all C loops, no n*w uint64 matrix
+    wb = (width + 7) // 8
+    padded = np.zeros((n, wb * 8), dtype=np.uint8)
+    padded[:, wb * 8 - width:] = bits
+    by = np.packbits(padded.ravel()).reshape(n, wb)
+    words = np.zeros((n, 8), dtype=np.uint8)
+    words[:, 8 - wb:] = by
+    return words.reshape(-1).view(">u8").astype(np.uint64).reshape(n)
 
 
 def pack_mask(mask: np.ndarray) -> bytes:
