@@ -98,27 +98,60 @@ def main() -> None:
     from howard_spark.corpus import corpus_df
     from howard_spark.session import get_spark
 
-    stage = tempfile.mkdtemp(prefix="xl_corpus_")
+    stage = os.environ.get("XL_STAGE_DIR") or tempfile.mkdtemp(
+        prefix="xl_corpus_")
     src = f"{stage}/corpus.parquet"
-    log(f"staging {N_ROWS} corpus rows to {src} (untimed)")
-    spark = get_spark(app="xl-stage", cores=32)
-    spark.sparkContext.setLogLevel("ERROR")
-    corpus_df(spark, N_ROWS, npartitions=128).write.mode(
-        "overwrite").parquet(src)
-    spark.stop()
+    if not os.path.exists(src):
+        log(f"staging {N_ROWS} corpus rows to {src} (untimed)")
+        spark = get_spark(app="xl-stage", cores=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        corpus_df(spark, N_ROWS, npartitions=128).write.mode(
+            "overwrite").parquet(src)
+        spark.stop()
+    else:
+        log(f"reusing staged corpus at {src}")
+
+    def agg_envelope() -> float:
+        """8-proc aggregate copy bandwidth (scaling_bench's envelope
+        gate): the single-proc probe misses aggregate degradation,
+        which is exactly what starves a 13 GB multi-core encode."""
+        from scripts.scaling_bench import BW_PROBE  # noqa: F401
+        out = subprocess.run([sys.executable, "-c", BW_PROBE],
+                             capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().split("\n")[-1])["8"]
 
     rows = []
     env = dict(os.environ, HS_DRIVER_MEM="48g")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     for cores in LEVELS:
         probe_pre = wait_for_healthy_probe()
+        for _w in range(8):
+            agg = agg_envelope()
+            if agg >= 3.5:
+                break
+            log(f"  aggregate envelope degraded ({agg} GB/s at 8 procs) "
+                f"— waiting 90s")
+            time.sleep(90)
         enc_dir = f"{stage}/encoded_{cores}"
-        out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cores), src, enc_dir],
-            capture_output=True, text=True, check=True, cwd=repo, env=env)
-        r = json.loads(out.stdout.strip().split("\n")[-1])
-        r["probe_pre"] = probe_pre
-        r["probe_post"] = copy_probe_gbps()
+        for _try in range(3):
+            out = subprocess.run(
+                [sys.executable, "-c", WORKER, str(cores), src, enc_dir],
+                capture_output=True, text=True, check=True, cwd=repo, env=env)
+            r = json.loads(out.stdout.strip().split("\n")[-1])
+            r["probe_pre"] = probe_pre
+            r["probe_post"] = copy_probe_gbps()
+            r["agg8_pre"] = agg
+            r["agg8_post"] = agg_envelope()
+            # the window must hold THROUGH the run (r5 lesson: a 62 s
+            # local[32] encode recorded between two healthy probes was
+            # a 6x mid-run flap artifact) — retry on post decay of
+            # either the single-proc probe or the aggregate envelope
+            if r["probe_post"] >= 1.4 and r["agg8_post"] >= 3.5:
+                break
+            log(f"  local[{cores}] window decayed (post "
+                f"{r['probe_post']}) — retrying")
+            probe_pre = wait_for_healthy_probe()
         rows.append(r)
         log(f"  local[{cores}]: {r}")
 
