@@ -336,7 +336,13 @@ def dedup_estimate_verify(spark, sf, est_lo: int = EST_LO,
     recall-critical corpora (more exact scoring), narrow it when the
     estimate is trusted. Output: one row per candidate pair with
     (est_matches, path, i_cnt/u_cnt where exact ran, is_dup)."""
-    est = q37(spark, sf)
+    # est feeds FOUR consumers (accept, reject, borderline, and the
+    # semi-join's needed-docs derivation) — persist so the minhash +
+    # band-join pipeline runs once, not four times. MEMORY_AND_DISK
+    # (the default) spills at scale; the table is one small row per
+    # candidate pair. Spark's CacheManager keys on the logical plan, so
+    # repeated gate calls in one session share a single cached copy.
+    est = q37(spark, sf).persist()
     null_l = F.lit(None).cast("bigint")
     acc = (est.where(F.col("est_matches") >= est_hi)
            .select("doc_a", "doc_b", "est_matches",
