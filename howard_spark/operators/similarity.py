@@ -861,3 +861,75 @@ def q87(spark, sf):
     IVF (nprobe 1/2/4) and hyperplane-LSH (4bit x2, 8bit x4) vs brute
     force, fully oracle-checked (hits/total as exact bigints)."""
     return ann_recall_report(spark, sf)
+
+
+# --- semantic dedup (cluster-then-prune, round 5) -----------------------
+# The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", arXiv
+# 2303.09540): cluster embeddings with k-means, then compare pairs only
+# WITHIN a cluster and drop all but one member of every semantic-dup
+# group. Pairwise cost collapses from O(N^2) to sum_c O(|c|^2) — with
+# k ~ N/target_occupancy the per-cluster work is constant, the 100-TB
+# shape. Threshold is low here for the same reason as q44's (the
+# synthetic embeddings have no true near-dups; production callers pass
+# ~0.95+).
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(e, threshold: float = SEMDEDUP_THRESHOLD,
+                   sample_fraction: float | None = KM_SAMPLE_FRACTION):
+    """Drop-list of semantic near-duplicates: one row per PRUNED vector
+    (keeper = lowest vec_id it duplicates within its cluster).
+
+    Plan shape: trained centroids broadcast, assignment one scan; the
+    within-cluster self-join is an equi-join on cid (never all-pairs);
+    keeper = min duplicate-partner id per pruned vector. A vector that
+    exceeds ``threshold`` against any earlier (lower-id) cluster-mate
+    is pruned — the SemDeDup keep-one-per-group rule with vec_id as
+    the deterministic representative order."""
+    cent = kmeans_centroids(e, sample_fraction=sample_fraction)
+    buckets = _kmeans_assign(e, cent)
+    a = buckets.select(F.col("cid").alias("cid"),
+                       F.col("vec_id").alias("keep_id"),
+                       F.col("embedding").alias("ea"))
+    b = buckets.select(F.col("cid").alias("cid2"),
+                       F.col("vec_id").alias("vec_id"),
+                       F.col("embedding").alias("eb"))
+    return (
+        a.join(b, (F.col("cid") == F.col("cid2"))
+               & (F.col("keep_id") < F.col("vec_id")))
+        .where(_cosine("ea", "eb") > threshold)
+        .groupBy("vec_id")
+        .agg(F.min("keep_id").alias("keeper"),
+             F.count("*").alias("n_dups"))
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS})"
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"a{i} AS ({_km_assign_sql(f'cent{i}', KM_SAMPLE_FRACTION)})")
+        ctes.append(f"cent{i + 1} AS ({_km_update_sql(f'a{i}')})")
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"buckets AS ({_km_assign_sql(f'cent{KMEANS_ITERS}')})\n"
+        f"SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper, "
+        f"CAST(count(*) AS BIGINT) AS n_dups "
+        f"FROM buckets a JOIN buckets b "
+        f"ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE {_cosine_sql('a.embedding', 'b.embedding')} "
+        f"> {SEMDEDUP_THRESHOLD} "
+        f"GROUP BY b.vec_id"
+    )
+
+
+@query("q88_semantic_dedup", _semdedup_oracle_sql(), driver=False)
+def q88(spark, sf):
+    """Gate for :func:`semantic_dedup` (cluster-then-prune drop list,
+    fully oracle-checked — centroids via the 6dp-rounding recipe)."""
+    return semantic_dedup(t(spark, sf, "embeddings"))

@@ -191,3 +191,16 @@ def test_exact_pair_scores_shuffle_mode_matches_broadcast(spark):
     # the two set-side joins must be sort-merge under the hint (the
     # needed-ids semi join MAY still broadcast — it carries only ids)
     assert len(re.findall(r"SortMergeJoin .*, Inner", _plan(shuffled))) >= 2
+
+
+def test_q88_semdedup_within_cluster_only(spark):
+    """SemDeDup prune compares pairs ONLY within a k-means cluster:
+    the self-join must be an equi-join on cid, never a cartesian."""
+    from howard_spark.operators.similarity import q88
+
+    plan = _plan(q88(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the k-row centroid assignment
+    # (same contract as test_kmeans_assign_broadcasts_centroids); the
+    # PRUNE self-join must be an equi-join keyed on cid
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", plan)
