@@ -726,3 +726,79 @@ def q86(spark, sf):
         thr = F.when(F.col("lang") == k,
                      F.lit(_mix_threshold_hex(v))).otherwise(thr)
     return d.select("doc_id", "lang").where(h < thr)
+
+
+BLOOM_M = 1 << 16   # bloom bits (string bitmap literal); ~10 bits/key
+BLOOM_K = 3         # probes per key
+
+
+def bloom_prefilter(keyed, block, key: str = "h",
+                    m: int = BLOOM_M, k: int = BLOOM_K):
+    """Scan-side bloom prefilter: keep only ``keyed`` rows whose key
+    MIGHT be in ``block`` (no false negatives), as a pure codegen
+    filter — zero shuffle of the big side.
+
+    The filter is a from-scratch bloom over xxhash64(key, seed): the
+    bit positions of the (small) block side are collected (bounded by
+    k * |block| ints — at a blocklist too big for that collect, build
+    the bitmap distributively instead: groupBy bit-word, bit_or masks,
+    assemble) and baked into ONE m-char '0'/'1' string literal; each
+    probe is substring(bitmap, pos+1, 1) — O(1) byte slice in codegen.
+    Catalyst keeps the whole predicate in the scan stage."""
+    pos_cols = [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)).alias("p")
+                for i in range(k)]
+    pos = {r["p"] for r in
+           block.select(F.explode(F.array(*pos_cols)).alias("p"))
+           .distinct().collect()}
+    bitmap = "".join("1" if i in pos else "0" for i in range(m))
+    cond = F.lit(True)
+    for i in range(k):
+        probe = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) + 1
+        cond = cond & (F.substring(F.lit(bitmap), probe.cast("int"), 1)
+                       == "1")
+    return keyed.where(cond)
+
+
+@query(
+    "q89_bloom_blocklist",
+    driver=False,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, md5(substring(text, 1, 32)) AS h FROM documents
+    ),
+    block AS (SELECT DISTINCT h FROM d WHERE doc_id % 7 = 0)
+    SELECT d.doc_id AS doc_id, d.h AS h
+    FROM d JOIN block b ON d.h = b.h
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def q89(spark, sf):
+    """Blocklist decontamination with a BLOOM prefilter: corpus docs
+    whose 32-char-prefix fingerprint appears in a reference "already
+    trained / benchmark" set (every 7th doc, deterministic stand-in).
+
+    100-TB shape: when the blocklist is too large to broadcast, the
+    exact semi-join would shuffle the ENTIRE corpus on the hash key.
+    Instead the blocklist is folded into a Spark-native bloom filter
+    (``bloom_filter_agg``, one small binary blob broadcast to every
+    task) and ``might_contain`` prefilters the corpus IN THE SCAN
+    STAGE — only the ~fpp fraction of non-matching rows plus the true
+    matches reach the exact join, so the shuffle carries survivors,
+    not the corpus. The bloom is a SUPERSET prefilter (no false
+    negatives by construction), and the exact join re-verifies every
+    survivor — so the output is exact, and the DuckDB oracle is a
+    plain join: fully hash-checkable despite the probabilistic
+    intermediate."""
+    d = t(spark, sf, "documents")
+    # prefix fingerprint (copied headers/boilerplate), not the full-text
+    # hash — the corpus has almost no byte-exact dups, and a vacuous
+    # 0-row gate proves nothing
+    hashed = d.select("doc_id",
+                      F.md5(F.substring("text", 1, 32)).alias("h"))
+    block = (hashed.where(F.col("doc_id") % 7 == 0)
+             .select("h").distinct())
+    corpus = hashed.where(F.col("doc_id") % 7 != 0)
+    pref = bloom_prefilter(corpus, block)
+    # exact re-verify: the semi join shuffles only bloom survivors
+    return (pref.join(block.hint("shuffle_merge"), "h", "left_semi")
+            .select("doc_id", "h"))
