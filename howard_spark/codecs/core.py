@@ -472,7 +472,13 @@ def _string_logical_bytes(arr: pa.Array) -> int:
     return int(offsets[-1] - offsets[0])
 
 
-def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None) -> pa.Array:
+def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None,
+                        storage: pa.DataType | None = None) -> pa.Array:
+    """``storage`` may be large_utf8 for string targets: building utf8
+    directly via from_buffers skips the binary->string cast's UTF-8
+    validation scan (measured ~19% of single-core decode). Trusted-
+    decode fast path — the bytes came from our own encoder and chunk
+    shas catch corruption upstream."""
     n = lens.size
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -482,7 +488,7 @@ def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None) 
         vbuf = pa.py_buffer(pack_mask(mask))
         null_count = int(n - mask.sum())
     return pa.Array.from_buffers(
-        pa.large_binary(), n,
+        storage or pa.large_binary(), n,
         [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
         null_count=null_count,
     )
@@ -550,29 +556,32 @@ def encode_strings(arr: pa.Array, _nested: bool = False, hint: dict | None = Non
 
 
 def decode_strings(c: str, payload: bytes, m: dict, n: int,
-                   mask: np.ndarray | None) -> pa.Array:
+                   mask: np.ndarray | None,
+                   storage: pa.DataType | None = None) -> pa.Array:
     if c == "sconst":
         if m.get("e"):
-            return _strings_from_parts(np.zeros(n, dtype=np.int64), b"", mask)
+            return _strings_from_parts(np.zeros(n, dtype=np.int64), b"", mask,
+                                       storage)
         ln = m["l"]
         lens = np.full(n, ln, dtype=np.int64)
         # payload is the single value; replicate
         data = payload * n
-        return _strings_from_parts(lens, data, mask)
+        return _strings_from_parts(lens, data, mask, storage)
     if c == "sraw":
         pl, pb = unframe(payload)
         lens = decode_ints(m["l"]["c"], pl, m["l"]["m"], n)
         data = decode_block(m["b"], pb)
-        return _strings_from_parts(lens, data, mask)
+        return _strings_from_parts(lens, data, mask, storage)
     if c == "sdict":
         pcd, pv = unframe(payload)
         codes = decode_ints(m["cd"]["c"], pcd, m["cd"]["m"], n)
-        vals = decode_strings(m["v"]["c"], pv, m["v"]["m"], m["k"], None)
+        vals = decode_strings(m["v"]["c"], pv, m["v"]["m"], m["k"], None,
+                              storage)
         taken = vals.take(pa.array(codes))
         if mask is None:
             return taken
         lens, data = _string_parts(taken)
-        return _strings_from_parts(lens, data, mask)
+        return _strings_from_parts(lens, data, mask, storage)
     raise ValueError(f"unknown string codec {c}")
 
 
@@ -694,10 +703,11 @@ def decode_array(payload: bytes, meta_json: str, n_rows: int) -> pa.Array:
 
     if pa.types.is_string(t) or pa.types.is_large_string(t) \
             or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        a = decode_strings(c, payload, m, n_rows, mask)
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return a.cast(pa.large_string()).cast(t)
-        return a.cast(t)
+        storage = (pa.large_utf8()
+                   if pa.types.is_string(t) or pa.types.is_large_string(t)
+                   else pa.large_binary())
+        a = decode_strings(c, payload, m, n_rows, mask, storage=storage)
+        return a if a.type == t else a.cast(t)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         pl, pch = unframe(payload)
         sizes = decode_ints(m["l"]["c"], pl, m["l"]["m"], n_rows)
