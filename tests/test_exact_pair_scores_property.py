@@ -28,7 +28,7 @@ def _shingles(t: str) -> set[str]:
     return {t[i:i + SHINGLE_K] for i in range(n)}
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpora())
 def test_exact_pair_scores_modes_and_oracle(spark, texts):
