@@ -189,6 +189,85 @@ def q42(spark, sf):
     )
 
 
+# --- grouped exact-cosine pair kernel (round 6) -------------------------
+# The r5 shape evaluated one interpreted JVM `aggregate(zip_with(...))`
+# fold PER CANDIDATE PAIR (3 folds x 64 elements for q44's cosine) — at
+# the driver's sf1.0 that is ~25M pairs x ~200 interpreted element ops,
+# 41 s of the 75 s suite. Guide §4.2: let Spark do the equi-shuffle,
+# hand whole GROUPS to vectorized numpy. Bit-exactness contract:
+#   - the BLAS gram matrix is only a PREFILTER at (threshold - margin);
+#     the f64 error of a 64-term BLAS dot vs the sequential fold is
+#     < ~1e-13 in cosine (measured 0.0 on this BLAS), so margin 1e-6
+#     cannot lose a qualifying pair;
+#   - every surviving pair's dot AND both norms are recomputed with the
+#     exact sequential element order of the JVM fold (f64 accumulate in
+#     element order, vectorized ACROSS pairs, sequential across dims),
+#     so the emitted cos_raw doubles are bit-identical to the old
+#     JVM-expression values and the driver's value-hash is unchanged;
+#   - threshold compare and round(…, 6) stay on the Spark side, on
+#     those bit-identical doubles.
+_COS_PREFILTER_MARGIN = 1e-6
+
+
+def _grouped_pair_kernel(threshold: float, id_field: str = "vec_id",
+                         emb_field: str = "embedding"):
+    """numpy all-pairs kernel for ONE equi-key group: emits
+    (vec_a, vec_b, cos_raw) for every within-group pair with exact
+    cosine > threshold - margin (vec_a < vec_b). See the contract note
+    above; memory is bounded by blocking the gram at ~32 MB."""
+    cut = threshold - _COS_PREFILTER_MARGIN
+
+    def kernel(table):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema([
+            pa.field("vec_a", pa.int64()), pa.field("vec_b", pa.int64()),
+            pa.field("cos_raw", pa.float64())])
+        ids = table.column(id_field).to_numpy()
+        m = len(ids)
+        if m < 2:
+            return out_schema.empty_table()
+        emb = table.column(emb_field)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        E = np.asarray(emb.flatten(), dtype=np.float32) \
+            .reshape(m, -1).astype(np.float64)
+        d = E.shape[1]
+        acc = np.zeros(m)
+        for k in range(d):            # exact sequential-fold norms
+            acc += E[:, k] * E[:, k]
+        nrm = np.sqrt(acc)
+        order = np.argsort(ids)
+        ids, E, nrm = ids[order], E[order], nrm[order]
+        blk = max(128, 4_194_304 // m)   # gram block <= ~32 MB f64
+        outs = []
+        for s in range(0, m, blk):
+            C = (E[s:s + blk] @ E.T) / (nrm[s:s + blk, None] * nrm[None, :])
+            ii, jj = np.nonzero(C > cut)
+            keep = ii + s < jj           # strict upper triangle
+            ii, jj = ii[keep] + s, jj[keep]
+            if not len(ii):
+                continue
+            A, B = E[ii], E[jj]
+            acc2 = np.zeros(len(ii))
+            for k in range(d):        # exact sequential-fold dot
+                acc2 += A[:, k] * B[:, k]
+            outs.append((ids[ii], ids[jj], acc2 / (nrm[ii] * nrm[jj])))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.table({
+            "vec_a": np.concatenate([o[0] for o in outs]),
+            "vec_b": np.concatenate([o[1] for o in outs]),
+            "cos_raw": np.concatenate([o[2] for o in outs])},
+            schema=out_schema)
+
+    return kernel
+
+
+_PAIR_KERNEL_SCHEMA = "vec_a bigint, vec_b bigint, cos_raw double"
+
+
 @query(
     "q43_embedding_neardup",
     f"""
@@ -203,28 +282,22 @@ def q43(spark, sf):
     """Embedding-cosine near-duplicate pairs within label buckets —
     the embedding flavor of dedup (threshold 0.9).
 
-    Norms are computed ONCE per vector before the self-join (n rows),
-    not once per pair (n² evaluations) — only the dot product runs
-    inside the join."""
-    # single small input file = one split; repartition so the O(n²/labels)
-    # pair work spreads across cores (same reasoning as _shingles_df)
-    e = t(spark, sf, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    Round-6 plan (guide §4.2, §2.3): one equi-shuffle groups vectors by
+    label; each group runs the vectorized numpy pair kernel
+    (_grouped_pair_kernel — BLAS prefilter + bit-exact sequential-fold
+    recompute). The r5 self-join shuffled every candidate PAIR with
+    both 64-float arrays and paid an interpreted 64-element JVM fold
+    per pair; this shape shuffles each vector ONCE and was measured
+    13.97 -> 0.48 s at the 20k-vector (sf1.0-scale) regime."""
+    e = t(spark, sf, "embeddings")
+    pairs = (
+        e.select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInArrow(_grouped_pair_kernel(0.9), _PAIR_KERNEL_SCHEMA)
     )
-    norm = F.sqrt(F.expr(
-        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-    ))
-    en = e.select("vec_id", "label", "embedding", norm.alias("nrm"))
-    a = en.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = en.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
-    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_sim_raw", dot / (F.col("na") * F.col("nb")))
-        .where(F.col("cos_sim_raw") > 0.9)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        pairs.where(F.col("cos_raw") > 0.9)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
 
 
@@ -611,6 +684,25 @@ def q44(spark, sf):
     return embedding_neardup_lsh(e, bits_per_band=4, n_bands=2)
 
 
+def _band_parts(e, planes, bits_per_band: int, n_bands: int, cols):
+    """(vec_id, band, bkey[, …cols]) — one row per vector per band,
+    band key = sign bits of the band's hyperplane projections."""
+    def band_key(b: int):
+        k = F.lit(0)
+        for j in range(bits_per_band):
+            p = planes[b * bits_per_band + j]
+            k = k + F.when(_proj_col("embedding", p) > 0,
+                           F.lit(1 << j)).otherwise(F.lit(0))
+        return k.cast("int")
+
+    bands = None
+    for b in range(n_bands):
+        part = e.select("vec_id", F.lit(b).alias("band"),
+                        band_key(b).alias("bkey"), *cols)
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
 def lsh_plane_family(n: int):
     """First ``n`` planes of the seeded deterministic family (the gate's
     PLANES are the n=8 prefix of the same stream)."""
@@ -647,38 +739,29 @@ def embedding_neardup_lsh(
     recall 199/200; 8-bit x 4 = 1651 candidates, recall 200/200.
 
     Plane family is seeded + shared-prefix (lsh_plane_family), so the
-    4-bit/2-band configuration reproduces the q44 oracle bit-for-bit."""
+    4-bit/2-band configuration reproduces the q44 oracle bit-for-bit.
+
+    Round-6 plan (guide §4.2, §2.3, §2.4): the r5 shape materialized the
+    candidate-pair table (~N²/2^(bits+1) rows per band), ran a DISTINCT
+    over it, joined the embeddings back TWICE, and paid three
+    interpreted 64-element JVM folds per pair — 18.6 s at the
+    20k-vector regime. Now vectors are grouped by their band key (the
+    SAME equi-key, one shuffle of n·n_bands small rows) and each bucket
+    runs the numpy pair kernel (_grouped_pair_kernel: BLAS prefilter +
+    bit-exact sequential-fold recompute), so only SURVIVOR pairs ever
+    exist as rows; the final distinct dedups pairs that collide in
+    several bands (bit-identical doubles, so set-equal to the r5
+    candidate-distinct-then-score order). Measured 18.6 -> 0.9 s at the
+    same regime; per-bucket work stays bounded by the band-sizing rule
+    above."""
     planes = lsh_plane_family(bits_per_band * n_bands)
-
-    def band_key(b: int):
-        k = F.lit(0)
-        for j in range(bits_per_band):
-            p = planes[b * bits_per_band + j]
-            k = k + F.when(_proj_col("embedding", p) > 0,
-                           F.lit(1 << j)).otherwise(F.lit(0))
-        return k.cast("int")
-
-    bands = None
-    for b in range(n_bands):
-        part = e.select("vec_id", F.lit(b).alias("band"),
-                        band_key(b).alias("bkey"))
-        bands = part if bands is None else bands.unionByName(part)
-
-    x = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
-    y = bands.select(F.col("vec_id").alias("vec_b"), F.col("band").alias("band2"),
-                     F.col("bkey").alias("bkey2"))
-    cand = (
-        x.join(y, (F.col("band") == F.col("band2")) & (F.col("bkey") == F.col("bkey2"))
-               & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b").distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    bands = _band_parts(e, planes, bits_per_band, n_bands, ["embedding"])
+    pairs = bands.groupBy("band", "bkey").applyInArrow(
+        _grouped_pair_kernel(threshold), _PAIR_KERNEL_SCHEMA)
     return (
-        cand.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cos_raw", _cosine("ea", "eb"))
-        .where(F.col("cos_raw") > threshold)
+        pairs.where(F.col("cos_raw") > threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .distinct()
     )
 
 

@@ -57,11 +57,15 @@ def test_q44_band_join_is_equijoin(spark):
     from howard_spark.operators.similarity import q44
 
     plan = _plan(q44(spark, SF))
-    # candidate generation must be an equi-join on (band, bkey), never
-    # an all-pairs nested loop
+    # candidate generation must stay keyed on (band, bkey) — since r6 a
+    # single hash-partitioned exchange feeding the grouped numpy pair
+    # kernel (FlatMapGroupsInArrow) — never an all-pairs nested loop,
+    # and never a per-pair join-back of the embedding arrays
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan)
+    assert "FlatMapGroupsInArrow" in plan
+    assert re.search(r"hashpartitioning\(band", plan)
+    # no join survives: pairs are born inside the per-bucket kernel
+    assert "Join" not in plan
 
 
 def test_hgvs_transcript_join_broadcasts(spark):
