@@ -144,6 +144,134 @@ _MINHASH_SQL = f"""
 """
 
 
+def _minhash_kernel(batches):
+    """mapInArrow kernel: documents (doc_id, text) -> wide md5 minhash
+    signatures (doc_id, mh0..mh{N-1}), semantically IDENTICAL to the
+    JVM pipeline `explode(shingles) -> min(md5(seed:sh)) per doc`:
+
+    - shingles are substring(text, i, SHINGLE_K) for i = 1..n_sh,
+      n_sh = min(max(len - K + 1, 1), SHINGLE_CAP) — CHARACTER
+      positions, reproduced byte-exactly on the vectorized path only
+      when the whole batch is NUL-free ASCII with every doc >= K chars
+      (one cheap buffer check); anything else takes the per-doc Python
+      path, which slices `str` exactly like Spark's substring;
+    - a doc with NULL text yields ONE row with mh_s = md5(str(s)):
+      greatest(NULL, 1) is 1 in Spark, so explode emits one NULL
+      shingle and concat_ws skips the NULL (verified against the JVM
+      pipeline in tests/test_minhash_kernel.py);
+    - md5 is hashed ONCE PER DISTINCT shingle in the batch (measured
+      vocabulary 38k distinct vs 25.6M positions at the x10 regime —
+      the r3 hot-shingle fact), then per-doc minima are taken on
+      order-preserving integer RANKS of each seed's hex values
+      (min rank == lexicographic min hex) via np.minimum.reduceat.
+      hashlib md5 hex == Spark md5 == DuckDB md5, so the emitted
+      strings are byte-identical to the JVM expression's."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    md5 = hashlib.md5
+    prefixes = [f"{s}:".encode() for s in range(N_HASHES)]
+
+    for tb in batches:
+        if tb.num_rows == 0:
+            continue
+        ids = tb.column(0).to_numpy()
+        col = tb.column(1)
+        offs_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        offs = offs_all[col.offset:col.offset + len(col) + 1]
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        ascii_ok = (col.null_count == 0 and lens.min() >= SHINGLE_K
+                    and buf[offs[0]:offs[-1]].size > 0
+                    and buf[offs[0]:offs[-1]].min() > 0
+                    and buf[offs[0]:offs[-1]].max() < 128)
+        if ascii_ok:
+            n_sh = np.minimum(lens - (SHINGLE_K - 1), SHINGLE_CAP)
+            seg = np.cumsum(n_sh) - n_sh          # window-segment starts
+            pos = np.arange(int(n_sh.sum())) - np.repeat(seg, n_sh)
+            starts = np.repeat(offs[:-1], n_sh) + pos
+            wins = np.lib.stride_tricks.sliding_window_view(
+                buf, SHINGLE_K)[starts].view(f"S{SHINGLE_K}").ravel()
+            uniq, inv = np.unique(wins, return_inverse=True)
+            words = uniq.tolist()                 # exact 9-byte windows
+            out_ids = ids
+        else:                                      # exact general path
+            texts = col.to_pylist()
+            vocab: dict = {}
+            inv_list, n_sh_list = [], []
+            for txt in texts:
+                if txt is None:
+                    windows = [None]      # one NULL shingle (see above)
+                else:
+                    n = min(max(len(txt) - (SHINGLE_K - 1), 1), SHINGLE_CAP)
+                    windows = [txt[j:j + SHINGLE_K] for j in range(n)]
+                n_sh_list.append(len(windows))
+                for w in windows:
+                    k = vocab.get(w)
+                    if k is None:
+                        k = len(vocab)
+                        vocab[w] = k
+                    inv_list.append(k)
+            inv = np.asarray(inv_list, dtype=np.int64)
+            n_sh = np.asarray(n_sh_list, dtype=np.int64)
+            seg = np.cumsum(n_sh) - n_sh
+            words = [None if w is None else w.encode("utf-8")
+                     for w in vocab]
+            out_ids = ids
+        hexes = np.empty((N_HASHES, len(words)), dtype="S32")
+        for s in range(N_HASHES):
+            p = prefixes[s]
+            # concat_ws(':', seed, sh) skips a NULL sh: hash the seed
+            # alone, WITHOUT the separator
+            hexes[s] = [md5(p[:-1] if w is None else p + w).hexdigest()
+                        for w in words]
+        cols = {"doc_id": pa.array(out_ids, type=pa.int64())}
+        for s in range(N_HASHES):
+            order = np.argsort(hexes[s])
+            ranks = np.empty(len(words), dtype=np.int64)
+            ranks[order] = np.arange(len(words))
+            rmin = np.minimum.reduceat(ranks[inv], seg)
+            cols[f"mh{s}"] = pa.array(
+                np.char.decode(hexes[s][order][rmin], "ascii"))
+        yield pa.record_batch(cols)
+
+
+_WIDE_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"mh{s} string" for s in range(N_HASHES))
+
+
+def _minhash_wide(spark, sf, fast: bool = False):
+    """Wide minhash signatures: one row per doc, columns mh0..mh{N-1}
+    (md5-hex family, or xxhash64 longs with ``fast=True``).
+
+    Round-6 (guide §4.2): the md5 family runs in the vectorized
+    _minhash_kernel — the r5 shape hashed every (position, seed) pair
+    in the JVM (~200M md5 calls at the driver's sf1.0); the kernel
+    hashes once per DISTINCT shingle per batch and takes per-doc
+    minima on integer ranks. The xxhash64 fast path stays a JVM
+    expression: xxhash64 is already ~cheaper than the Python boundary
+    (measured: memo-joining it REGRESSED 1.21 -> 2.62 s at x10 docs,
+    so it keeps the inline explode+min-agg plan)."""
+    if fast:
+        sh = _shingles_df(spark, sf)
+        aggs = [F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"mh{s}")
+                for s in range(N_HASHES)]
+        return sh.groupBy("doc_id").agg(*aggs)
+    d = (t(spark, sf, "documents")
+         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+         .select("doc_id", "text"))
+    return d.mapInArrow(_minhash_kernel, _WIDE_SCHEMA)
+
+
+def _stack_signature(wide):
+    stack = ", ".join(f"{s}L, mh{s}" for s in range(N_HASHES))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_HASHES}, {stack}) AS (seed, mh)")
+    )
+
+
 @query(
     "q31_minhash_signatures",
     f"""
@@ -157,18 +285,9 @@ def q31(spark, sf):
 
     One pass, no seed crossJoin: all N_HASHES mins are computed as
     separate aggregates of the same shingle scan (map-side combinable),
-    then unpivoted. The shuffle carries N_HASHES small columns per doc
-    instead of one row per (shingle, seed)."""
-    sh = _shingles_df(spark, sf)
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "sh"))).alias(f"mh{s}")
-        for s in range(N_HASHES)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{s}L, mh{s}" for s in range(N_HASHES))
-    return per_doc.select(
-        "doc_id", F.expr(f"stack({N_HASHES}, {stack}) AS (seed, mh)")
-    )
+    then unpivoted; since round 6 the md5s come from the distinct-
+    shingle memo join (see _minhash_wide)."""
+    return _stack_signature(_minhash_wide(spark, sf))
 
 
 _BANDS_SQL = f"""
@@ -179,21 +298,11 @@ _BANDS_SQL = f"""
 """
 
 
-def band_pairs(sig):
-    """LSH banding applied to a (doc_id, seed, mh) signature relation:
-    docs sharing any band become candidate pairs. Generic over the
-    minhash value type (md5 hex or xxhash64 long — concat casts).
-
-    Pairs are generated by grouping doc_ids per (band, band_key) and
-    expanding combinations with array lambdas — the signature pipeline
-    runs ONCE and no self-join re-computes it. Bucket sizes are tiny by
-    construction (LSH), so the in-group expansion is bounded."""
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.lpad("seed", 2, "0"), F.col("mh").cast("string")))))).alias("band_key"))
-    )
+def _pairs_from_bands(bands):
+    """(doc_id, band, band_key) -> distinct candidate pairs: group
+    doc_ids per (band, band_key) and expand combinations with array
+    lambdas — bucket sizes are tiny by construction (LSH), so the
+    in-group expansion is bounded."""
     groups = (
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -210,6 +319,44 @@ def band_pairs(sig):
     )
 
 
+def band_pairs(sig):
+    """LSH banding applied to a (doc_id, seed, mh) signature relation:
+    docs sharing any band become candidate pairs. Generic over the
+    minhash value type (md5 hex or xxhash64 long — concat casts).
+
+    Pairs are generated by grouping doc_ids per (band, band_key) and
+    expanding combinations with array lambdas — the signature pipeline
+    runs ONCE and no self-join re-computes it."""
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.lpad("seed", 2, "0"), F.col("mh").cast("string")))))).alias("band_key"))
+    )
+    return _pairs_from_bands(bands)
+
+
+def _band_pairs_wide(wide):
+    """band_pairs for the WIDE signature relation (doc_id, mh0..mhN):
+    each band's key is the '|'-joined pair of its seed-ordered minhash
+    values taken straight from the wide columns — the same equivalence
+    classes as band_pairs' md5(sorted 'ss:mh' list) key (both are
+    injective encodings of the seed-ordered value tuple), without the
+    stack to N_HASHES rows, the per-(doc, band) re-aggregation, or the
+    band-key md5 (guide §2.4: one less exchange)."""
+    n_bands = N_HASHES // BAND_ROWS
+    keys = [
+        F.concat_ws("|", *[F.col(f"mh{s}").cast("string")
+                           for s in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)])
+        .alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *keys).select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack}) AS (band, band_key)"))
+    return _pairs_from_bands(bands)
+
+
 @query(
     "q32_lsh_candidate_pairs",
     f"""
@@ -219,8 +366,10 @@ def band_pairs(sig):
     """,
 )
 def q32(spark, sf):
-    """LSH candidate pairs over the md5 (oracle-portable) signatures."""
-    return band_pairs(q31(spark, sf))
+    """LSH candidate pairs over the md5 (oracle-portable) signatures
+    (round 6: banded straight from the wide signature relation — see
+    _band_pairs_wide)."""
+    return _band_pairs_wide(_minhash_wide(spark, sf))
 
 
 @query(
@@ -250,14 +399,15 @@ def q37(spark, sf):
     q34's |A|+|B| set intersection — and reserves exact verify (q34)
     for borderline estimates. Wide signatures stay unstacked (one
     ~N_HASHES-column row per doc), broadcast to both sides of the
-    pair join: no shuffle beyond candidate generation."""
-    pairs = q32(spark, sf)
-    sh = _shingles_df(spark, sf)
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "sh"))).alias(f"mh{s}")
-        for s in range(N_HASHES)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    pair join: no shuffle beyond candidate generation.
+
+    Round-6: the wide signature table feeds THREE consumers in one
+    evaluation (candidate generation + both sides of the estimate
+    join) — persist so the shingle -> distinct-hash -> min pipeline
+    runs once, not three times (same bounded one-small-row-per-doc
+    reuse pattern as dedup_estimate_verify's est.persist)."""
+    wide = _minhash_wide(spark, sf).persist()
+    pairs = _band_pairs_wide(wide)
     wa = F.broadcast(wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)]))
@@ -490,16 +640,7 @@ def q36(spark, sf):
     md5 hex — integer min-aggregation, ~5-10x cheaper per shingle. Same
     banding algebra as q31/q32; md5 variants remain the oracle-checked
     reference path."""
-    sh = _shingles_df(spark, sf)
-    aggs = [
-        F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"mh{s}")
-        for s in range(N_HASHES)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{s}L, mh{s}" for s in range(N_HASHES))
-    return per_doc.select(
-        "doc_id", F.expr(f"stack({N_HASHES}, {stack}) AS (seed, mh)")
-    )
+    return _stack_signature(_minhash_wide(spark, sf, fast=True))
 
 
 def _cc_canon(e):

@@ -1,0 +1,56 @@
+"""_minhash_kernel (round-6 vectorized md5 minhash) must reproduce the
+JVM expression pipeline byte-for-byte — including the edge cases the
+vectorized fast path cannot take (short docs, non-ASCII text, NULL
+text, empty text), which exercise the exact per-doc Python path."""
+
+from pyspark.sql import functions as F
+
+from howard_spark.operators.dedup import (
+    N_HASHES,
+    SHINGLE_CAP,
+    SHINGLE_K,
+    _minhash_wide,
+)
+
+
+def _jvm_wide(spark, sf):
+    """The r5 JVM shape: explode shingles, min(md5(seed:sh)) per doc."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    shingles = F.expr(
+        f"transform(sequence(1, least(greatest(length(text) - {SHINGLE_K - 1}, 1), {SHINGLE_CAP})), "
+        f"i -> substring(text, i, {SHINGLE_K}))"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "sh"))).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _assert_identical(spark, sf):
+    kern = _minhash_wide(spark, sf)
+    jvm = _jvm_wide(spark, sf)
+    assert kern.exceptAll(jvm).isEmpty() and jvm.exceptAll(kern).isEmpty()
+
+
+def test_kernel_matches_jvm_on_corpus(spark, sf_dir):
+    _assert_identical(spark, sf_dir)
+
+
+def test_kernel_matches_jvm_on_edge_docs(spark, tmp_path):
+    rows = [
+        (0, "abc"),                          # shorter than SHINGLE_K
+        (1, None),                           # NULL text -> md5(seed) row
+        (2, "héllo wörld — unicode text long enough for windows"),
+        (3, "normal ascii document, long enough for many windows"),
+        (4, ""),                             # empty -> one empty shingle
+        (5, "exactly9!"),                    # len == SHINGLE_K
+        (6, "x" * 2000),                     # SHINGLE_CAP clamp
+    ]
+    fixture = str(tmp_path / "edgefix")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+    _assert_identical(spark, fixture)
+    out = _minhash_wide(spark, fixture).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4, 5, 6]
