@@ -62,6 +62,12 @@ def exact_pair_scores(pairs, sh, join_mode: str = "auto"):
     Returns ``pairs``'s columns plus exact integers (i_cnt, u_cnt);
     jaccard = i_cnt/u_cnt is derivable downstream (float-tie caveat).
     """
+    # the pairs plan feeds BOTH the needed-docs semi-join derivation and
+    # the final join — persist so candidate generation runs once, not
+    # twice (r5 ADVICE; q34 passes the whole unpersisted LSH pipeline
+    # here). Bounded: one small row per candidate pair, same pattern as
+    # dedup_estimate_verify's est.persist().
+    pairs = pairs.persist()
     sets = sh.groupBy("doc_id").agg(
         F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
     needed = (pairs.select(F.col("doc_a").alias("doc_id"))

@@ -18,6 +18,22 @@ from . import query, t
 from ..encode import decode_df, encode_df, encoded_summary
 
 
+def _scan_parallel(df):
+    """Round-robin a narrow scan up to the core count before the
+    mapInArrow encode kernel (guide §6: these tables arrive as a single
+    small parquet file = 1-3 input splits, so the encode stage would
+    otherwise run on 1-3 cores; measured q51 2.55 -> 1.82 s at sf0.1,
+    and the gap grows with SF). Skipped when the scan is already wide —
+    at cluster scale the input has hundreds of splits and this is a
+    no-op, so the repartition never shows up where it wouldn't help.
+    Decoded ROW SETS are chunking-independent, so gate outputs are
+    unchanged (oracle hash parity covers this)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 @query(
     "q50_encode_roundtrip_sha",
     """
@@ -27,7 +43,7 @@ from ..encode import decode_df, encode_df, encoded_summary
 )
 def q50(spark, sf):
     d = t(spark, sf, "documents")
-    enc = encode_df(d, chunk_rows=4096)
+    enc = encode_df(_scan_parallel(d), chunk_rows=4096)
     dec = decode_df(enc, d.schema, columns=["doc_id", "text", "lang"])
     return dec.select("doc_id", F.sha2("text", 256).alias("sha"), F.col("lang").alias("lang"))
 
@@ -48,7 +64,7 @@ def q51(spark, sf):
     aggregate the decoded relation — proves floats/timestamps survive
     (fdec/FoR paths), not just strings."""
     li = t(spark, sf, "lineitem")
-    enc = encode_df(li, chunk_rows=16384)
+    enc = encode_df(_scan_parallel(li), chunk_rows=16384)
     dec = decode_df(enc, li.schema)
     rid = F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
     return (

@@ -47,7 +47,13 @@ _VIEW_SQL = f"""
 
 
 def _synth_variants(spark, sf):
-    o = t(spark, sf, "orders")
+    # orders is one parquet file with ONE row group, so the synth +
+    # explode + ANN-typing pipeline would run in a single scan task at
+    # any SF; round-robin to the core count first (guide §2.5 input
+    # skew: one unsplittable input). Measured q62 0.67 -> 0.40 s at
+    # sf0.1; the stage is single-core-bound at the driver's sf1.0.
+    o = t(spark, sf, "orders").repartition(
+        spark.sparkContext.defaultParallelism)
     entries = F.expr(
         f"transform(sequence(0, pmod(o_orderkey, 3)), k -> {_ANN_ENTRY_SPARK})"
     )
@@ -119,7 +125,8 @@ def q64(spark, sf):
     from ..functions.calculations import apply_calculation
     from ..functions.info import info_get
 
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").repartition(
+        spark.sparkContext.defaultParallelism)  # same 1-row-group reason
     entries = F.expr(
         f"transform(sequence(0, pmod(o_orderkey, 3)), k -> {_FULL_ANN_ENTRY_SPARK})"
     )
