@@ -33,7 +33,8 @@ SHINGLE_K = 9       # character shingle width
 SHINGLE_CAP = 512   # max shingles per doc (prefix cap, both engines)
 
 
-def exact_pair_scores(pairs, sh, join_mode: str = "auto"):
+def exact_pair_scores(pairs, sh=None, join_mode: str = "auto",
+                      sets=None):
     """Exact set-intersection scores for candidate ``pairs`` — the
     shared verify kernel of q34 and :func:`dedup_estimate_verify`.
 
@@ -68,8 +69,12 @@ def exact_pair_scores(pairs, sh, join_mode: str = "auto"):
     # here). Bounded: one small row per candidate pair, same pattern as
     # dedup_estimate_verify's est.persist().
     pairs = pairs.persist()
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
+    if sets is None:
+        # legacy path: fold the (doc_id, sh) relation into sets here;
+        # round-6 callers pass a prebuilt `sets` (shingle_sets_df — one
+        # Arrow pass, no explode/distinct/collect_list shuffles)
+        sets = sh.groupBy("doc_id").agg(
+            F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
     needed = (pairs.select(F.col("doc_a").alias("doc_id"))
               .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
               .distinct())
@@ -150,28 +155,83 @@ _MINHASH_SQL = f"""
 """
 
 
+def _batch_windows(tb):
+    """Shared shingle-window extraction for the Arrow document kernels:
+    (doc_id, text) record batch -> (ids, inv, seg, words) where
+    ``words`` is the batch's distinct-shingle vocabulary (bytes, or
+    None for the single NULL shingle a NULL text produces), ``inv``
+    maps every window position to its vocab index, and ``seg`` holds
+    each doc's first window position (for np.*.reduceat).
+
+    Shingles are substring(text, i, SHINGLE_K) for i = 1..n_sh,
+    n_sh = min(max(len - K + 1, 1), SHINGLE_CAP) — CHARACTER
+    positions, reproduced byte-exactly on the vectorized path only
+    when the whole batch is NUL-free ASCII with every doc >= K chars
+    (one cheap buffer check); anything else takes the per-doc Python
+    path, which slices `str` exactly like Spark's substring. A NULL
+    text yields ONE NULL window: greatest(NULL, 1) is 1 in Spark, so
+    the JVM explode emits one NULL shingle (verified in
+    tests/test_minhash_kernel.py)."""
+    import numpy as np
+
+    ids = tb.column(0).to_numpy()
+    col = tb.column(1)
+    offs_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offs = offs_all[col.offset:col.offset + len(col) + 1]
+    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    ascii_ok = (col.null_count == 0 and lens.min() >= SHINGLE_K
+                and buf[offs[0]:offs[-1]].size > 0
+                and buf[offs[0]:offs[-1]].min() > 0
+                and buf[offs[0]:offs[-1]].max() < 128)
+    if ascii_ok:
+        n_sh = np.minimum(lens - (SHINGLE_K - 1), SHINGLE_CAP)
+        seg = np.cumsum(n_sh) - n_sh              # window-segment starts
+        pos = np.arange(int(n_sh.sum())) - np.repeat(seg, n_sh)
+        starts = np.repeat(offs[:-1], n_sh) + pos
+        wins = np.lib.stride_tricks.sliding_window_view(
+            buf, SHINGLE_K)[starts].view(f"S{SHINGLE_K}").ravel()
+        uniq, inv = np.unique(wins, return_inverse=True)
+        words = uniq.tolist()                     # exact 9-byte windows
+    else:                                          # exact general path
+        texts = col.to_pylist()
+        vocab: dict = {}
+        inv_list, n_sh_list = [], []
+        for txt in texts:
+            if txt is None:
+                windows = [None]          # one NULL shingle (see above)
+            else:
+                n = min(max(len(txt) - (SHINGLE_K - 1), 1), SHINGLE_CAP)
+                windows = [txt[j:j + SHINGLE_K] for j in range(n)]
+            n_sh_list.append(len(windows))
+            for w in windows:
+                k = vocab.get(w)
+                if k is None:
+                    k = len(vocab)
+                    vocab[w] = k
+                inv_list.append(k)
+        inv = np.asarray(inv_list, dtype=np.int64)
+        n_sh = np.asarray(n_sh_list, dtype=np.int64)
+        seg = np.cumsum(n_sh) - n_sh
+        words = [None if w is None else w.encode("utf-8") for w in vocab]
+    return ids, inv, seg, words
+
+
 def _minhash_kernel(batches):
     """mapInArrow kernel: documents (doc_id, text) -> wide md5 minhash
     signatures (doc_id, mh0..mh{N-1}), semantically IDENTICAL to the
-    JVM pipeline `explode(shingles) -> min(md5(seed:sh)) per doc`:
+    JVM pipeline `explode(shingles) -> min(md5(seed:sh)) per doc`
+    (window semantics: see _batch_windows):
 
-    - shingles are substring(text, i, SHINGLE_K) for i = 1..n_sh,
-      n_sh = min(max(len - K + 1, 1), SHINGLE_CAP) — CHARACTER
-      positions, reproduced byte-exactly on the vectorized path only
-      when the whole batch is NUL-free ASCII with every doc >= K chars
-      (one cheap buffer check); anything else takes the per-doc Python
-      path, which slices `str` exactly like Spark's substring;
-    - a doc with NULL text yields ONE row with mh_s = md5(str(s)):
-      greatest(NULL, 1) is 1 in Spark, so explode emits one NULL
-      shingle and concat_ws skips the NULL (verified against the JVM
-      pipeline in tests/test_minhash_kernel.py);
     - md5 is hashed ONCE PER DISTINCT shingle in the batch (measured
       vocabulary 38k distinct vs 25.6M positions at the x10 regime —
       the r3 hot-shingle fact), then per-doc minima are taken on
       order-preserving integer RANKS of each seed's hex values
       (min rank == lexicographic min hex) via np.minimum.reduceat.
       hashlib md5 hex == Spark md5 == DuckDB md5, so the emitted
-      strings are byte-identical to the JVM expression's."""
+      strings are byte-identical to the JVM expression's;
+    - a NULL text's row carries mh_s = md5(str(s)) because concat_ws
+      skips the NULL shingle."""
     import hashlib
 
     import numpy as np
@@ -183,49 +243,7 @@ def _minhash_kernel(batches):
     for tb in batches:
         if tb.num_rows == 0:
             continue
-        ids = tb.column(0).to_numpy()
-        col = tb.column(1)
-        offs_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
-        offs = offs_all[col.offset:col.offset + len(col) + 1]
-        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        lens = np.diff(offs)
-        ascii_ok = (col.null_count == 0 and lens.min() >= SHINGLE_K
-                    and buf[offs[0]:offs[-1]].size > 0
-                    and buf[offs[0]:offs[-1]].min() > 0
-                    and buf[offs[0]:offs[-1]].max() < 128)
-        if ascii_ok:
-            n_sh = np.minimum(lens - (SHINGLE_K - 1), SHINGLE_CAP)
-            seg = np.cumsum(n_sh) - n_sh          # window-segment starts
-            pos = np.arange(int(n_sh.sum())) - np.repeat(seg, n_sh)
-            starts = np.repeat(offs[:-1], n_sh) + pos
-            wins = np.lib.stride_tricks.sliding_window_view(
-                buf, SHINGLE_K)[starts].view(f"S{SHINGLE_K}").ravel()
-            uniq, inv = np.unique(wins, return_inverse=True)
-            words = uniq.tolist()                 # exact 9-byte windows
-            out_ids = ids
-        else:                                      # exact general path
-            texts = col.to_pylist()
-            vocab: dict = {}
-            inv_list, n_sh_list = [], []
-            for txt in texts:
-                if txt is None:
-                    windows = [None]      # one NULL shingle (see above)
-                else:
-                    n = min(max(len(txt) - (SHINGLE_K - 1), 1), SHINGLE_CAP)
-                    windows = [txt[j:j + SHINGLE_K] for j in range(n)]
-                n_sh_list.append(len(windows))
-                for w in windows:
-                    k = vocab.get(w)
-                    if k is None:
-                        k = len(vocab)
-                        vocab[w] = k
-                    inv_list.append(k)
-            inv = np.asarray(inv_list, dtype=np.int64)
-            n_sh = np.asarray(n_sh_list, dtype=np.int64)
-            seg = np.cumsum(n_sh) - n_sh
-            words = [None if w is None else w.encode("utf-8")
-                     for w in vocab]
-            out_ids = ids
+        out_ids, inv, seg, words = _batch_windows(tb)
         hexes = np.empty((N_HASHES, len(words)), dtype="S32")
         for s in range(N_HASHES):
             p = prefixes[s]
@@ -242,6 +260,66 @@ def _minhash_kernel(batches):
             cols[f"mh{s}"] = pa.array(
                 np.char.decode(hexes[s][order][rmin], "ascii"))
         yield pa.record_batch(cols)
+
+
+def _shingle_sets_kernel(batches):
+    """mapInArrow kernel: documents (doc_id, text) -> per-doc DISTINCT
+    shingle sets (doc_id, shs array<string>, n bigint), identical to
+    `_shingles_df(...).distinct()` folded through
+    `groupBy(doc_id).agg(collect_list(sh), count(*))`:
+
+    - ``n`` counts distinct (doc_id, sh) ROWS, so a NULL shingle (NULL
+      text) contributes to n but — like collect_list — is EXCLUDED
+      from shs;
+    - set order within shs is the batch vocab order (deterministic);
+      every consumer is order-free (array_intersect / size)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for tb in batches:
+        if tb.num_rows == 0:
+            continue
+        ids, inv, seg, words = _batch_windows(tb)
+        m = len(ids)
+        n_win = len(inv)
+        counts = np.diff(np.append(seg, n_win))
+        seg_ids = np.repeat(np.arange(m, dtype=np.int64), counts)
+        V = len(words)
+        uc = np.unique(seg_ids * V + inv)          # distinct (doc, word)
+        useg, uinv = uc // V, uc % V
+        n_per_doc = np.bincount(useg, minlength=m)
+        null_idx = words.index(None) if None in words else -1
+        if null_idx >= 0:
+            keep = uinv != null_idx
+            kseg, kinv = useg[keep], uinv[keep]
+        else:
+            kseg, kinv = useg, uinv
+        words_str = np.array(
+            [b"" if w is None else w for w in words], dtype=object)
+        flat = pa.array([w.decode("utf-8") for w in words_str[kinv]],
+                        type=pa.string())
+        offsets = np.concatenate(
+            ([0], np.cumsum(np.bincount(kseg, minlength=m)))).astype("int32")
+        shs = pa.ListArray.from_arrays(pa.array(offsets,
+                                                type=pa.int32()), flat)
+        yield pa.record_batch({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shs": shs,
+            "n": pa.array(n_per_doc, type=pa.int64())})
+
+
+def shingle_sets_df(spark, sf):
+    """Per-doc distinct shingle sets in ONE pass over the documents
+    scan (round 6, guide §4.2/§2.4): replaces
+    `_shingles_df(...).distinct()` + the collect_list groupBy inside
+    exact_pair_scores — two shuffles of ~25M exploded rows — with a
+    single mapInArrow stage (measured: the distinct alone cost 1.6 s
+    at the x10 regime)."""
+    d = (t(spark, sf, "documents")
+         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+         .select("doc_id", "text"))
+    return d.mapInArrow(_shingle_sets_kernel,
+                        "doc_id bigint, shs array<string>, n bigint")
 
 
 _WIDE_SCHEMA = "doc_id bigint, " + ", ".join(
@@ -515,7 +593,7 @@ def dedup_estimate_verify(spark, sf, est_lo: int = EST_LO,
     # exact_pair_scores semi-joins the set table to BORDERLINE docs only
     # and picks broadcast vs shuffle from runtime size (see its docstring)
     exact = (
-        exact_pair_scores(border, _shingles_df(spark, sf).distinct())
+        exact_pair_scores(border, sets=shingle_sets_df(spark, sf))
         .select("doc_a", "doc_b", "est_matches",
                 F.lit("exact").alias("path"), "i_cnt", "u_cnt",
                 F.when(F.col("i_cnt") * DUP_DEN >= F.col("u_cnt") * DUP_NUM, 1)
@@ -829,7 +907,7 @@ def q34(spark, sf):
     exactly on rounding-tie boundaries where engines' round() rules
     (HALF_UP vs half-to-even) disagree."""
     return exact_pair_scores(q32(spark, sf),
-                             _shingles_df(spark, sf).distinct())
+                             sets=shingle_sets_df(spark, sf))
 
 
 # --- substring-level exact dedup (duplicated SPANS across docs) ---------

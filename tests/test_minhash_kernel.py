@@ -38,6 +38,37 @@ def test_kernel_matches_jvm_on_corpus(spark, sf_dir):
     _assert_identical(spark, sf_dir)
 
 
+def test_shingle_sets_kernel_matches_jvm(spark, sf_dir, tmp_path):
+    """shingle_sets_df must reproduce the JVM
+    distinct -> collect_list/count fold as a SET per doc (order-free:
+    consumers use array_intersect/size only) — on the corpus AND the
+    edge fixture (incl. the NULL-text doc whose NULL shingle counts in
+    n but is excluded from shs, matching collect_list)."""
+    from pyspark.sql import functions as F
+
+    from howard_spark.operators.dedup import _shingles_df, shingle_sets_df
+
+    def jvm_sets(sf):
+        return (_shingles_df(spark, sf).distinct().groupBy("doc_id")
+                .agg(F.collect_list("sh").alias("shs"),
+                     F.count("*").alias("n")))
+
+    def norm(df):
+        return df.select("doc_id", F.array_sort("shs").alias("shs"), "n")
+
+    for sf in [sf_dir]:
+        a, b = norm(jvm_sets(sf)), norm(shingle_sets_df(spark, sf))
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    rows = [(0, "abc"), (1, None), (2, "héllo wörld — unicode, long enough"),
+            (4, ""), (5, "exactly9!"), (6, "xy" * 1000)]
+    fixture = str(tmp_path / "setsfix")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+    a, b = norm(jvm_sets(fixture)), norm(shingle_sets_df(spark, fixture))
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_kernel_matches_jvm_on_edge_docs(spark, tmp_path):
     rows = [
         (0, "abc"),                          # shorter than SHINGLE_K
