@@ -390,14 +390,66 @@ def _km_oracle_sql() -> str:
 
 
 def _kmeans_assign(e, cent):
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "__cos", _cosine("embedding", "ce"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    """Nearest-centroid assignment (top-1 by cosine, cid tiebreak).
+
+    Round-6 (guide §4.2, §2.4): the r5 shape crossJoined every vector
+    with the broadcast centroid table (k× row blowup, interpreted
+    64-element fold per pair) and then paid a WINDOW SHUFFLE partitioned
+    by vec_id to pick the top-1. Assignment is a pure map: the k
+    centroid vectors are collected (bounded k×DIM — the same collect
+    the Lloyd loop already does to freeze centroids) and each batch is
+    scored in numpy with the exact sequential-fold arithmetic of the
+    JVM `aggregate(zip_with(...))` cosine, picking max cos with
+    smallest-cid tiebreak exactly like the row_number ordering. No
+    exchange at all — the 100-TB shape is one scan."""
+    rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    cids = [int(r["cid"]) for r in rows]
+    ces = [[float(x) for x in r["ce"]] for r in rows]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cents = [np.asarray(c, dtype=np.float64) for c in ces]
+        cnorms = []
+        for c in cents:
+            acc = np.float64(0.0)
+            for v in c:                  # exact sequential-fold norm
+                acc = acc + v * v
+            cnorms.append(np.sqrt(acc))
+        for tb in batches:
+            if tb.num_rows == 0:
+                continue
+            emb = tb.column(1)
+            m = tb.num_rows
+            E = np.asarray(emb.flatten(), dtype=np.float32) \
+                .reshape(m, -1).astype(np.float64)
+            d = E.shape[1]
+            acc = np.zeros(m)
+            for k in range(d):
+                acc += E[:, k] * E[:, k]
+            na = np.sqrt(acc)
+            best_cos = np.full(m, -np.inf)
+            # all-NaN edge (zero-norm vector): Spark sorts NaN first in
+            # desc order, so row_number would pick the smallest cid —
+            # initializing to cids[0] matches that
+            best_cid = np.full(m, cids[0], dtype=np.int64)
+            for ci in range(len(cents)):   # ascending cid: ties keep first
+                dot = np.zeros(m)
+                c = cents[ci]
+                for k in range(d):
+                    dot += E[:, k] * c[k]
+                cos = dot / (na * cnorms[ci])
+                upd = cos > best_cos
+                best_cos[upd] = cos[upd]
+                best_cid[upd] = cids[ci]
+            yield pa.record_batch({
+                "vec_id": tb.column(0),
+                "embedding": emb,
+                "cid": pa.array(best_cid, type=pa.int64())})
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id bigint, embedding array<float>, cid bigint")
 
 
 def _kmeans_update(assigned):
@@ -964,24 +1016,25 @@ def semantic_dedup(e, threshold: float = SEMDEDUP_THRESHOLD,
     """Drop-list of semantic near-duplicates: one row per PRUNED vector
     (keeper = lowest vec_id it duplicates within its cluster).
 
-    Plan shape: trained centroids broadcast, assignment one scan; the
-    within-cluster self-join is an equi-join on cid (never all-pairs);
-    keeper = min duplicate-partner id per pruned vector. A vector that
+    Plan shape: trained centroids broadcast, assignment one scan
+    (map-only since r6); the within-cluster prune stays keyed on cid —
+    since r6 a single exchange on cid feeding the grouped numpy pair
+    kernel (_grouped_pair_kernel, the q43/q44 kernel: BLAS prefilter +
+    bit-exact sequential-fold recompute), never all-pairs rows; keeper
+    = min duplicate-partner id per pruned vector. A vector that
     exceeds ``threshold`` against any earlier (lower-id) cluster-mate
     is pruned — the SemDeDup keep-one-per-group rule with vec_id as
     the deterministic representative order."""
     cent = kmeans_centroids(e, sample_fraction=sample_fraction)
     buckets = _kmeans_assign(e, cent)
-    a = buckets.select(F.col("cid").alias("cid"),
-                       F.col("vec_id").alias("keep_id"),
-                       F.col("embedding").alias("ea"))
-    b = buckets.select(F.col("cid").alias("cid2"),
-                       F.col("vec_id").alias("vec_id"),
-                       F.col("embedding").alias("eb"))
+    pairs = (buckets.select("cid", "vec_id", "embedding")
+             .groupBy("cid")
+             .applyInArrow(_grouped_pair_kernel(threshold),
+                           _PAIR_KERNEL_SCHEMA))
     return (
-        a.join(b, (F.col("cid") == F.col("cid2"))
-               & (F.col("keep_id") < F.col("vec_id")))
-        .where(_cosine("ea", "eb") > threshold)
+        pairs.where(F.col("cos_raw") > threshold)
+        .select(F.col("vec_b").alias("vec_id"),
+                F.col("vec_a").alias("keep_id"))
         .groupBy("vec_id")
         .agg(F.min("keep_id").alias("keeper"),
              F.count("*").alias("n_dups"))

@@ -103,10 +103,12 @@ def test_kmeans_assign_broadcasts_centroids(spark):
         F.col("vec_id").alias("cid"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ce"))
     plan = _plan(_kmeans_assign(e, cent))
-    # tiny centroid side must broadcast (nested-loop is fine: k rows),
-    # never a shuffled cartesian
-    assert "Broadcast" in plan
+    # since r6 assignment is a pure MAP over the scan (centroids are a
+    # bounded k-row collect closed over by the Arrow kernel): no join,
+    # no window shuffle — no Exchange at all
+    assert "MapInArrow" in plan
     assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
 
 
 def test_connected_components_equijoins_only(spark):
@@ -204,7 +206,8 @@ def test_q88_semdedup_within_cluster_only(spark):
 
     plan = _plan(q88(spark, SF))
     assert "CartesianProduct" not in plan
-    # the only nested-loop allowed is the k-row centroid assignment
-    # (same contract as test_kmeans_assign_broadcasts_centroids); the
-    # PRUNE self-join must be an equi-join keyed on cid
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", plan)
+    # the PRUNE must stay keyed on cid — since r6 a single
+    # hash-partitioned exchange feeding the grouped numpy pair kernel
+    # (same contract as q44's guard), never an all-pairs join
+    assert "FlatMapGroupsInArrow" in plan
+    assert re.search(r"hashpartitioning\(cid", plan)
