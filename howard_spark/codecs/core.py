@@ -478,7 +478,15 @@ def _strings_from_parts(lens: np.ndarray, data: bytes, mask: np.ndarray | None,
     directly via from_buffers skips the binary->string cast's UTF-8
     validation scan (measured ~19% of single-core decode). Trusted-
     decode fast path — the bytes came from our own encoder and chunk
-    shas catch corruption upstream."""
+    shas catch corruption upstream.
+
+    TRUST CONTRACT (r5 ADVICE): decode_df/decode_array do NOT verify
+    the chunk sha inline — a store of unknown provenance (or one that
+    may have been corrupted at rest) must run the opt-in sha verify
+    pass (checkpoint.scrub / the q50-style sha gate) BEFORE relying on
+    trusted decode, otherwise a corrupted-but-decompressible payload
+    yields an Arrow array falsely declared utf8 instead of a clean
+    cast error."""
     n = lens.size
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
