@@ -946,8 +946,58 @@ def ann_recall_report(spark, sf, k: int = ANN_RECALL_K,
         return (scored.withColumn("rn", F.row_number().over(wq))
                 .where(F.col("rn") <= k).select("qid", "vec_id"))
 
-    gt = topk(e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
-              .select("qid", "vec_id", _cosine("embedding", "qe").alias("c")))
+    # Ground truth is the one O(Q*N) stage — since r6 it runs in a
+    # numpy kernel (guide §4.2): the Q query vectors are collected
+    # (bounded Q*DIM, same pattern as the centroid collect), each Arrow
+    # batch is scored with the exact sequential-fold cosine, and only
+    # the per-(query, batch) top-k rows (cos desc, vec_id asc — the
+    # window's ordering) are emitted: every global top-k row is inside
+    # its batch's top-k, so the final row_number window sees a superset
+    # and ranks bit-identical doubles.
+    q_rows = sorted(((int(r["qid"]), [float(x) for x in r["qe"]])
+                     for r in qs.collect()))
+
+    def gt_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qv = [(qid, np.asarray(v, dtype=np.float64)) for qid, v in q_rows]
+        qn = []
+        for _, v in qv:
+            acc = np.float64(0.0)
+            for x in v:
+                acc = acc + x * x
+            qn.append(np.sqrt(acc))
+        for tb in batches:
+            if tb.num_rows == 0:
+                continue
+            ids = tb.column(0).to_numpy()
+            m = tb.num_rows
+            E = np.asarray(tb.column(1).flatten(), dtype=np.float32) \
+                .reshape(m, -1).astype(np.float64)
+            d = E.shape[1]
+            acc = np.zeros(m)
+            for j in range(d):
+                acc += E[:, j] * E[:, j]
+            na = np.sqrt(acc)
+            out_q, out_v, out_c = [], [], []
+            for qi, (qid, v) in enumerate(qv):
+                dot = np.zeros(m)
+                for j in range(d):
+                    dot += E[:, j] * v[j]
+                cos = dot / (na * qn[qi])
+                mask = np.nonzero(ids != qid)[0]
+                order = mask[np.lexsort((ids[mask], -cos[mask]))[:k]]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_v.append(ids[order])
+                out_c.append(cos[order])
+            yield pa.record_batch({
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "c": pa.array(np.concatenate(out_c))})
+
+    gt = topk(e.select("vec_id", "embedding").mapInArrow(
+        gt_kernel, "qid bigint, vec_id bigint, c double"))
     total_df = gt.agg(F.count("*").cast("bigint").alias("total"))
 
     def report_row(name, found):
