@@ -155,22 +155,22 @@ _MINHASH_SQL = f"""
 """
 
 
-def _batch_windows(tb):
+def _batch_windows(tb, k: int = SHINGLE_K, cap: int = SHINGLE_CAP):
     """Shared shingle-window extraction for the Arrow document kernels:
     (doc_id, text) record batch -> (ids, inv, seg, words) where
-    ``words`` is the batch's distinct-shingle vocabulary (bytes, or
-    None for the single NULL shingle a NULL text produces), ``inv``
+    ``words`` is the batch's distinct-window vocabulary (bytes, or
+    None for the single NULL window a NULL text produces), ``inv``
     maps every window position to its vocab index, and ``seg`` holds
     each doc's first window position (for np.*.reduceat).
 
-    Shingles are substring(text, i, SHINGLE_K) for i = 1..n_sh,
-    n_sh = min(max(len - K + 1, 1), SHINGLE_CAP) — CHARACTER
-    positions, reproduced byte-exactly on the vectorized path only
-    when the whole batch is NUL-free ASCII with every doc >= K chars
-    (one cheap buffer check); anything else takes the per-doc Python
-    path, which slices `str` exactly like Spark's substring. A NULL
-    text yields ONE NULL window: greatest(NULL, 1) is 1 in Spark, so
-    the JVM explode emits one NULL shingle (verified in
+    Windows are substring(text, i, k) for i = 1..n_sh,
+    n_sh = min(max(len - k + 1, 1), cap) — CHARACTER positions,
+    reproduced byte-exactly on the vectorized path only when the whole
+    batch is NUL-free ASCII with every doc >= k chars (one cheap
+    buffer check); anything else takes the per-doc Python path, which
+    slices `str` exactly like Spark's substring. A NULL text yields
+    ONE NULL window: greatest(NULL, 1) is 1 in Spark, so the JVM
+    explode emits one NULL element (verified in
     tests/test_minhash_kernel.py)."""
     import numpy as np
 
@@ -180,36 +180,36 @@ def _batch_windows(tb):
     offs = offs_all[col.offset:col.offset + len(col) + 1]
     buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     lens = np.diff(offs)
-    ascii_ok = (col.null_count == 0 and lens.min() >= SHINGLE_K
+    ascii_ok = (col.null_count == 0 and lens.min() >= k
                 and buf[offs[0]:offs[-1]].size > 0
                 and buf[offs[0]:offs[-1]].min() > 0
                 and buf[offs[0]:offs[-1]].max() < 128)
     if ascii_ok:
-        n_sh = np.minimum(lens - (SHINGLE_K - 1), SHINGLE_CAP)
+        n_sh = np.minimum(lens - (k - 1), cap)
         seg = np.cumsum(n_sh) - n_sh              # window-segment starts
         pos = np.arange(int(n_sh.sum())) - np.repeat(seg, n_sh)
         starts = np.repeat(offs[:-1], n_sh) + pos
         wins = np.lib.stride_tricks.sliding_window_view(
-            buf, SHINGLE_K)[starts].view(f"S{SHINGLE_K}").ravel()
+            buf, k)[starts].view(f"S{k}").ravel()
         uniq, inv = np.unique(wins, return_inverse=True)
-        words = uniq.tolist()                     # exact 9-byte windows
+        words = uniq.tolist()                     # exact k-byte windows
     else:                                          # exact general path
         texts = col.to_pylist()
         vocab: dict = {}
         inv_list, n_sh_list = [], []
         for txt in texts:
             if txt is None:
-                windows = [None]          # one NULL shingle (see above)
+                windows = [None]          # one NULL window (see above)
             else:
-                n = min(max(len(txt) - (SHINGLE_K - 1), 1), SHINGLE_CAP)
-                windows = [txt[j:j + SHINGLE_K] for j in range(n)]
+                n = min(max(len(txt) - (k - 1), 1), cap)
+                windows = [txt[j:j + k] for j in range(n)]
             n_sh_list.append(len(windows))
             for w in windows:
-                k = vocab.get(w)
-                if k is None:
-                    k = len(vocab)
-                    vocab[w] = k
-                inv_list.append(k)
+                ki = vocab.get(w)
+                if ki is None:
+                    ki = len(vocab)
+                    vocab[w] = ki
+                inv_list.append(ki)
         inv = np.asarray(inv_list, dtype=np.int64)
         n_sh = np.asarray(n_sh_list, dtype=np.int64)
         seg = np.cumsum(n_sh) - n_sh
@@ -916,6 +916,37 @@ GRAM_CAP = 1024   # positions indexed per doc (prefix cap, both engines)
 MIN_SPAN = 32     # emit spans at least this many chars long
 
 
+def _gram_doc_count_kernel(gram_w: int, gram_cap: int):
+    """mapInArrow kernel factory: documents (doc_id, text) -> per-batch
+    PARTIAL gram document-frequencies (g, nd). Docs are one row each
+    and land in exactly one batch, so summing the partials over batches
+    gives the global count(DISTINCT doc_id) per gram — the round-6
+    replacement for grouping ~51M exploded (doc, pos, gram) rows just
+    to find grams present in >= 2 docs. NULL windows are dropped (the
+    downstream equi-join on g discards a NULL key anyway)."""
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for tb in batches:
+            if tb.num_rows == 0:
+                continue
+            ids, inv, seg, words = _batch_windows(tb, gram_w, gram_cap)
+            m = len(ids)
+            counts = np.diff(np.append(seg, len(inv)))
+            seg_ids = np.repeat(np.arange(m, dtype=np.int64), counts)
+            V = len(words)
+            uc = np.unique(seg_ids * V + inv)      # distinct (doc, gram)
+            nd = np.bincount(uc % V, minlength=V)
+            keep = [i for i in range(V) if nd[i] > 0 and words[i] is not None]
+            yield pa.record_batch({
+                "g": pa.array([words[i].decode("utf-8") for i in keep],
+                              type=pa.string()),
+                "nd": pa.array(nd[keep].astype("int64"))})
+
+    return kernel
+
+
 def duplicated_spans(spark, sf, gram_w: int = GRAM_W,
                      gram_cap: int = GRAM_CAP,
                      min_span: int = MIN_SPAN):
@@ -949,8 +980,16 @@ def duplicated_spans(spark, sf, gram_w: int = GRAM_W,
     pos_idx = d.select("doc_id", F.explode(grams).alias("pg")) \
                .select("doc_id", F.col("pg.pos").alias("pos"),
                        F.col("pg.g").alias("g"))
-    dup_grams = (pos_idx.groupBy("g")
-                 .agg(F.countDistinct("doc_id").alias("nd"))
+    # round 6: gram document-frequencies come from per-batch kernel
+    # partials (docs are batch-disjoint, partial distinct-doc counts
+    # sum exactly) instead of a count-distinct shuffle over every
+    # exploded position row — the df relation shrinks from |positions|
+    # to ~|vocabulary| rows before any exchange (guide §2.3 "aggregate
+    # before you shuffle")
+    partials = (d.select("doc_id", "text")
+                .mapInArrow(_gram_doc_count_kernel(gram_w, gram_cap),
+                            "g string, nd bigint"))
+    dup_grams = (partials.groupBy("g").agg(F.sum("nd").alias("nd"))
                  .where(F.col("nd") >= 2)
                  .select("g"))
     dup_pos = pos_idx.join(dup_grams, "g").select("doc_id", "pos")
