@@ -324,6 +324,138 @@ def shingle_sets_df(spark, sf):
 
 _WIDE_SCHEMA = "doc_id bigint, " + ", ".join(
     f"mh{s} string" for s in range(N_HASHES))
+_WIDE_FAST_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"mh{s} bigint" for s in range(N_HASHES))
+
+# XXH64 primes (public xxHash spec, the algorithm Spark's xxhash64
+# implements in org.apache.spark.sql.catalyst.expressions.XxHash64)
+_XX_P = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    """Spark-exact XXH64 of ONE IntegerType value (the hashInt path:
+    4-byte length, unsigned widen) — returns the raw uint64 hash, used
+    as the fold seed for the next argument."""
+    import numpy as np
+
+    p1, p2, p3, _, p5 = (np.uint64(p) for p in _XX_P)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    with np.errstate(over="ignore"):
+        h = np.uint64(seed) + p5 + np.uint64(4)
+        h = h ^ (np.uint64(np.uint32(i)) * p1)
+        h = rotl(h, 23) * p2 + p3
+        h = h ^ (h >> np.uint64(33)); h = h * p2
+        h = h ^ (h >> np.uint64(29)); h = h * p3
+        h = h ^ (h >> np.uint64(32))
+    return int(h)
+
+
+def _xxh64_bytes_rows(B, seed: int):
+    """Vectorized Spark-exact XXH64 over a (n, L) uint8 matrix of
+    equal-length byte strings -> np.uint64[n]. Follows the public
+    xxHash64 layout Spark implements: 32-byte stripes with four
+    accumulators + merge rounds, then 8-byte, 4-byte and single-byte
+    tail steps, then the avalanche — validated byte-for-byte against
+    F.xxhash64 for every length 0..100 in tests/test_minhash_kernel.py."""
+    import numpy as np
+
+    p1, p2, p3, p4, p5 = (np.uint64(p) for p in _XX_P)
+
+    def rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    n, L = B.shape
+    seed = np.uint64(seed)
+    off = 0
+    if L >= 32:
+        v1 = np.full(n, seed + p1 + p2, dtype=np.uint64)
+        v2 = np.full(n, seed + p2, dtype=np.uint64)
+        v3 = np.full(n, seed, dtype=np.uint64)
+        v4 = np.full(n, seed - p1, dtype=np.uint64)
+        while off + 32 <= L:
+            lanes = np.ascontiguousarray(B[:, off:off + 32]).view("<u8")
+            v1 = rotl(v1 + lanes[:, 0] * p2, 31) * p1
+            v2 = rotl(v2 + lanes[:, 1] * p2, 31) * p1
+            v3 = rotl(v3 + lanes[:, 2] * p2, 31) * p1
+            v4 = rotl(v4 + lanes[:, 3] * p2, 31) * p1
+            off += 32
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (rotl(v * p2, 31) * p1)) * p1 + p4
+    else:
+        h = np.full(n, seed + p5, dtype=np.uint64)
+    h = h + np.uint64(L)
+    while off + 8 <= L:
+        lane = np.ascontiguousarray(B[:, off:off + 8]).view("<u8")[:, 0]
+        h = h ^ (rotl(lane * p2, 31) * p1)
+        h = rotl(h, 27) * p1 + p4
+        off += 8
+    if off + 4 <= L:
+        lane = np.ascontiguousarray(B[:, off:off + 4]).view("<u4")[:, 0] \
+            .astype(np.uint64)
+        h = h ^ (lane * p1)
+        h = rotl(h, 23) * p2 + p3
+        off += 4
+    while off < L:
+        h = h ^ (B[:, off].astype(np.uint64) * p5)
+        h = rotl(h, 11) * p1
+        off += 1
+    h = h ^ (h >> np.uint64(33)); h = h * p2
+    h = h ^ (h >> np.uint64(29)); h = h * p3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _fast_minhash_kernel(batches):
+    """xxhash64 twin of :func:`_minhash_kernel`: wide signatures with
+    mh_s = min over shingles of xxhash64(s, sh) — F.xxhash64 folds
+    left-to-right starting at seed 42 and SKIPS null args, so the
+    per-seed string hash uses seed = hashInt(s, 42) and a NULL-text
+    doc's value is that seed itself. The numpy XXH64 is validated
+    byte-for-byte against Spark in tests/test_minhash_kernel.py; the
+    per-doc minima are over SIGNED longs (LongType min), taken on
+    ranks exactly like the md5 path."""
+    import numpy as np
+    import pyarrow as pa
+
+    with np.errstate(over="ignore"):
+        seeds = [_xxh64_int(s, 42) for s in range(N_HASHES)]
+        for tb in batches:
+            if tb.num_rows == 0:
+                continue
+            out_ids, inv, seg, words = _batch_windows(tb)
+            V = len(words)
+            vals = np.empty((N_HASHES, V), dtype=np.int64)
+            wlens = np.asarray([-1 if w is None else len(w) for w in words])
+            for L in np.unique(wlens):
+                idx = np.nonzero(wlens == L)[0]
+                if L == -1:                      # NULL shingle: seed alone
+                    for s in range(N_HASHES):
+                        vals[s, idx] = np.uint64(seeds[s]).view(np.int64)
+                    continue
+                if L == 0:
+                    B = np.empty((len(idx), 0), dtype=np.uint8)
+                else:
+                    B = np.frombuffer(
+                        b"".join(words[i] for i in idx), dtype=np.uint8
+                    ).reshape(len(idx), int(L))
+                for s in range(N_HASHES):
+                    vals[s, idx] = _xxh64_bytes_rows(B, seeds[s]) \
+                        .view(np.int64)
+            cols = {"doc_id": pa.array(out_ids, type=pa.int64())}
+            for s in range(N_HASHES):
+                order = np.argsort(vals[s])
+                ranks = np.empty(V, dtype=np.int64)
+                ranks[order] = np.arange(V)
+                rmin = np.minimum.reduceat(ranks[inv], seg)
+                cols[f"mh{s}"] = pa.array(vals[s][order][rmin])
+            yield pa.record_batch(cols)
 
 
 def _minhash_wide(spark, sf, fast: bool = False):
@@ -334,18 +466,15 @@ def _minhash_wide(spark, sf, fast: bool = False):
     _minhash_kernel — the r5 shape hashed every (position, seed) pair
     in the JVM (~200M md5 calls at the driver's sf1.0); the kernel
     hashes once per DISTINCT shingle per batch and takes per-doc
-    minima on integer ranks. The xxhash64 fast path stays a JVM
-    expression: xxhash64 is already ~cheaper than the Python boundary
-    (measured: memo-joining it REGRESSED 1.21 -> 2.62 s at x10 docs,
-    so it keeps the inline explode+min-agg plan)."""
-    if fast:
-        sh = _shingles_df(spark, sf)
-        aggs = [F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"mh{s}")
-                for s in range(N_HASHES)]
-        return sh.groupBy("doc_id").agg(*aggs)
+    minima on integer ranks. The xxhash64 fast path runs the same
+    shape via the numpy XXH64 (_fast_minhash_kernel) — the earlier
+    Spark-side memo-JOIN attempt regressed (1.21 -> 2.62 s at x10
+    docs); hashing inside the kernel avoids the join entirely."""
     d = (t(spark, sf, "documents")
          .repartition(spark.sparkContext.defaultParallelism, "doc_id")
          .select("doc_id", "text"))
+    if fast:
+        return d.mapInArrow(_fast_minhash_kernel, _WIDE_FAST_SCHEMA)
     return d.mapInArrow(_minhash_kernel, _WIDE_SCHEMA)
 
 
