@@ -185,13 +185,48 @@ def _batch_windows(tb, k: int = SHINGLE_K, cap: int = SHINGLE_CAP):
                 and buf[offs[0]:offs[-1]].min() > 0
                 and buf[offs[0]:offs[-1]].max() < 128)
     if ascii_ok:
+        import pyarrow as pa
+
         n_sh = np.minimum(lens - (k - 1), cap)
         seg = np.cumsum(n_sh) - n_sh              # window-segment starts
-        pos = np.arange(int(n_sh.sum())) - np.repeat(seg, n_sh)
-        starts = np.repeat(offs[:-1], n_sh) + pos
-        wins = np.lib.stride_tricks.sliding_window_view(
-            buf, k)[starts].view(f"S{k}").ravel()
-        uniq, inv = np.unique(wins, return_inverse=True)
+        total = int(n_sh.sum())
+        starts = np.arange(total) + np.repeat(offs[:-1] - seg, n_sh)
+        W = np.lib.stride_tricks.sliding_window_view(buf, k)[starts]
+        # distinct windows via Arrow's O(n) hash dictionary instead of
+        # np.unique's O(n log n) string sort (measured 7.5 -> 1.0 s on
+        # a 14.5M-window batch). The dictionary arrives in first-
+        # appearance order; a rank remap of the SMALL vocab restores
+        # the exact lexicographic vocab order/inv np.unique produced,
+        # so downstream output (set element order, rank minima) is
+        # byte-identical to the old path.
+        if 7 * k <= 64:
+            # ascii bytes are 7-bit: big-endian 7-bit packing into one
+            # uint64 is injective AND lex-order-preserving for the
+            # equal-length windows of this path
+            acc = np.zeros(total, dtype=np.uint64)
+            for i in range(k):
+                acc |= W[:, i].astype(np.uint64) << np.uint64((k - 1 - i) * 7)
+            d = pa.array(acc).dictionary_encode()
+            dv = d.dictionary.to_numpy()
+            order = np.argsort(dv, kind="stable")
+            sv = dv[order]
+            M = np.empty((len(sv), k), dtype=np.uint8)
+            for i in range(k):
+                M[:, i] = ((sv >> np.uint64((k - 1 - i) * 7))
+                           & np.uint64(0x7F)).astype(np.uint8)
+            uniq = M.view(f"S{k}").ravel()
+        else:                                      # wide windows (q49 grams)
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(k), total, [None, pa.py_buffer(W.tobytes())])
+            d = fsb.dictionary_encode()
+            dvals = np.frombuffer(
+                d.dictionary.buffers()[1], dtype=f"S{k}",
+                count=len(d.dictionary))
+            order = np.argsort(dvals, kind="stable")
+            uniq = dvals[order]
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = np.arange(len(order))
+        inv = ranks[d.indices.to_numpy()]
         words = uniq.tolist()                     # exact k-byte windows
     else:                                          # exact general path
         texts = col.to_pylist()
@@ -294,10 +329,14 @@ def _shingle_sets_kernel(batches):
             kseg, kinv = useg[keep], uinv[keep]
         else:
             kseg, kinv = useg, uinv
-        words_str = np.array(
-            [b"" if w is None else w for w in words], dtype=object)
-        flat = pa.array([w.decode("utf-8") for w in words_str[kinv]],
-                        type=pa.string())
+        # decode each DISTINCT word once and gather with Arrow take —
+        # the old per-(doc, word) Python decode loop was 2.35 s vs
+        # 0.16 s on a 14M-pair batch (guide §4.2: vocab-sized Python
+        # work, batch-sized native work)
+        vocab_arr = pa.array(
+            [None if w is None else w.decode("utf-8") for w in words],
+            type=pa.string())
+        flat = vocab_arr.take(pa.array(kinv, type=pa.int64()))
         offsets = np.concatenate(
             ([0], np.cumsum(np.bincount(kseg, minlength=m)))).astype("int32")
         shs = pa.ListArray.from_arrays(pa.array(offsets,
