@@ -400,9 +400,17 @@ def _xxh64_bytes_rows(B, seed: int):
     xxHash64 layout Spark implements: 32-byte stripes with four
     accumulators + merge rounds, then 8-byte, 4-byte and single-byte
     tail steps, then the avalanche — validated byte-for-byte against
-    F.xxhash64 for every length 0..100 in tests/test_minhash_kernel.py."""
+    F.xxhash64 for every length 0..100 in tests/test_minhash_kernel.py.
+
+    uint64 wraparound is intrinsic to the hash; silence numpy's scalar
+    overflow warning here so direct callers need no errstate wrapper."""
     import numpy as np
 
+    with np.errstate(over="ignore"):
+        return _xxh64_bytes_rows_impl(np, B, seed)
+
+
+def _xxh64_bytes_rows_impl(np, B, seed: int):
     p1, p2, p3, p4, p5 = (np.uint64(p) for p in _XX_P)
 
     def rotl(x, r):
